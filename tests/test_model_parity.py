@@ -1,0 +1,89 @@
+"""Numerical parity vs torch/HF Whisper on seeded random weights.
+
+This is the layer-wise activation-diff testing the reference *planned* but
+never implemented (reference guide.md:323-338), plus the end-to-end
+greedy-token equality gate (the reference's golden-token contract,
+readme.md:19), both runnable without checkpoints or network.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from whisper_tpu.decode import transcribe_tokens  # noqa: E402
+from whisper_tpu.models.whisper import (  # noqa: E402
+    encoder_forward,
+    init_kv_cache,
+    decoder_forward,
+    precompute_cross_kv,
+)
+from whisper_tpu.tokenizer import build_prompt  # noqa: E402
+
+
+def test_encoder_activation_parity(torch_tiny, tiny_params, tiny_cfg, mel_fixture):
+    with torch.no_grad():
+        ref = torch_tiny.model.encoder(
+            torch.from_numpy(mel_fixture)).last_hidden_state.numpy()
+    mine = np.asarray(encoder_forward(tiny_params, tiny_cfg,
+                                      jnp.asarray(mel_fixture)))
+    assert np.abs(ref - mine).max() < 1e-4
+
+
+def test_prefill_logits_parity(torch_tiny, tiny_params, tiny_cfg, mel_fixture):
+    prompt = build_prompt(tiny_cfg)
+    ids = torch.tensor([prompt])
+    with torch.no_grad():
+        ref = torch_tiny(input_features=torch.from_numpy(mel_fixture),
+                         decoder_input_ids=ids).logits.numpy()
+    enc = encoder_forward(tiny_params, tiny_cfg, jnp.asarray(mel_fixture))
+    cross = precompute_cross_kv(tiny_params, tiny_cfg, enc)
+    cache = init_kv_cache(tiny_cfg, 1)
+    logits, _ = decoder_forward(tiny_params, tiny_cfg,
+                                jnp.asarray([prompt], jnp.int32),
+                                jnp.int32(0), cache, cross)
+    mine = np.asarray(logits)
+    assert np.abs(ref - mine).max() < 2e-3   # |logits| ~ O(10)
+    # the decision variable: argmax agreement at every prompt position
+    assert (ref.argmax(-1) == mine.argmax(-1)).all()
+
+
+def test_greedy_tokens_match_torch(torch_tiny, tiny_params, tiny_cfg, mel_fixture):
+    """End-to-end greedy tokens — incremental KV-cached decode here vs
+    full-recompute greedy in torch (reference semantics: argmax after
+    prefill, then one token per step, stop at EOT)."""
+    max_new = 20
+    prompt = build_prompt(tiny_cfg)
+    ids = torch.tensor([prompt])
+    with torch.no_grad():
+        for _ in range(1 + max_new):
+            out = torch_tiny(input_features=torch.from_numpy(mel_fixture),
+                             decoder_input_ids=ids)
+            nxt = out.logits[:, -1, :].argmax(-1, keepdim=True)
+            ids = torch.cat([ids, nxt], dim=1)
+            if int(nxt) == tiny_cfg.eot_token:
+                break
+    ref_tokens = ids[0].tolist()
+
+    res = transcribe_tokens(tiny_params, tiny_cfg, jnp.asarray(mel_fixture),
+                            jnp.asarray([prompt], jnp.int32), max_new=max_new)
+    mine = np.asarray(res.tokens)[0][:int(res.lengths[0])].tolist()
+    assert mine[:len(ref_tokens)] == ref_tokens
+
+
+def test_batched_decode_consistency(tiny_params, tiny_cfg):
+    """Batch rows decode independently and identically to batch-1 runs."""
+    rng = np.random.RandomState(3)
+    mel = (rng.randn(2, tiny_cfg.n_mels, tiny_cfg.n_frames) * 0.5).astype(np.float32)
+    prompt = np.tile(build_prompt(tiny_cfg), (2, 1)).astype(np.int32)
+    both = transcribe_tokens(tiny_params, tiny_cfg, jnp.asarray(mel),
+                             jnp.asarray(prompt), max_new=12)
+    for b in range(2):
+        one = transcribe_tokens(tiny_params, tiny_cfg, jnp.asarray(mel[b:b+1]),
+                                jnp.asarray(prompt[b:b+1]), max_new=12)
+        nb, n1 = int(both.lengths[b]), int(one.lengths[0])
+        assert nb == n1
+        assert np.asarray(both.tokens)[b, :nb].tolist() == \
+            np.asarray(one.tokens)[0, :n1].tolist()

@@ -1,0 +1,141 @@
+"""On-device log-mel audio frontend.
+
+The reference computes the mel spectrogram *offline* in Python via HF
+`WhisperProcessor` (reference export_weights.py:94-121: STFT n_fft=400
+hop=160, 80 mels, log10, per-HF dynamic-range normalization) and ships the
+result as `sample_input.bin`. Here the frontend is a first-class, jittable,
+batched JAX function that runs on the TPU itself.
+
+TPU-first design: instead of an FFT op, the windowed STFT is expressed as a
+single strided 1-D convolution whose 2*n_freqs output channels are the
+window-scaled real/imag DFT basis rows — i.e. a GEMM on the MXU — and the mel
+projection is a second small matmul that XLA fuses with the power and log
+stages. For a 30 s window this is ~1 GFLOP, noise on an MXU, and it keeps the
+whole pipeline (audio -> tokens) on device with zero host round-trips.
+
+Numerics match `transformers.WhisperFeatureExtractor` (the contract the
+reference's sample_input.bin was produced under): periodic Hann window,
+center=True reflect padding, power spectrogram, Slaney-scale/Slaney-norm mel
+filterbank, log10 clamped at 1e-10, per-sample max-8 dynamic-range clamp,
+(x+4)/4 scaling, and the final frame dropped (3001 -> 3000).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.config import WhisperConfig
+
+
+def hertz_to_mel_slaney(freq: np.ndarray) -> np.ndarray:
+    """Slaney mel scale: linear below 1 kHz, log above."""
+    freq = np.asarray(freq, dtype=np.float64)
+    min_log_hertz = 1000.0
+    min_log_mel = 15.0
+    logstep = 27.0 / np.log(6.4)
+    mels = 3.0 * freq / 200.0
+    above = freq >= min_log_hertz
+    return np.where(above,
+                    min_log_mel + np.log(np.maximum(freq, min_log_hertz) / min_log_hertz) * logstep,
+                    mels)
+
+
+def mel_to_hertz_slaney(mels: np.ndarray) -> np.ndarray:
+    mels = np.asarray(mels, dtype=np.float64)
+    min_log_mel = 15.0
+    logstep = np.log(6.4) / 27.0
+    freq = 200.0 * mels / 3.0
+    above = mels >= min_log_mel
+    return np.where(above, 1000.0 * np.exp(logstep * (np.maximum(mels, min_log_mel) - min_log_mel)), freq)
+
+
+def mel_filter_bank(n_freqs: int, n_mels: int, sample_rate: int,
+                    f_min: float = 0.0, f_max: float = 8000.0) -> np.ndarray:
+    """Triangular Slaney-normalized mel filterbank, shape (n_mels, n_freqs).
+
+    Standard public algorithm (librosa/HTK lineage), Slaney variant used by
+    Whisper: band edges uniform in Slaney-mel, each filter scaled by
+    2/(band width in Hz)."""
+    fft_freqs = np.linspace(0.0, sample_rate / 2.0, n_freqs)
+    mel_min = hertz_to_mel_slaney(np.array(f_min))
+    mel_max = hertz_to_mel_slaney(np.array(f_max))
+    mel_pts = np.linspace(mel_min, mel_max, n_mels + 2)
+    hz_pts = mel_to_hertz_slaney(mel_pts)
+
+    fdiff = np.diff(hz_pts)                                  # (n_mels+1,)
+    slopes = hz_pts[None, :] - fft_freqs[:, None]            # (n_freqs, n_mels+2)
+    down = -slopes[:, :-2] / fdiff[None, :-1]
+    up = slopes[:, 2:] / fdiff[None, 1:]
+    fb = np.maximum(0.0, np.minimum(down, up))               # (n_freqs, n_mels)
+    enorm = 2.0 / (hz_pts[2:n_mels + 2] - hz_pts[:n_mels])
+    fb = fb * enorm[None, :]
+    return fb.T.astype(np.float32)                           # (n_mels, n_freqs)
+
+
+@functools.lru_cache(maxsize=8)
+def _frontend_constants(n_fft: int, n_mels: int, sample_rate: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """(dft_kernel, mel_fb): the windowed DFT basis as conv kernels, and the
+    mel filterbank.
+
+    dft_kernel has shape (2*n_freqs, 1, n_fft) in OIH conv layout: channel i
+    < n_freqs is window*cos(2*pi*i*n/N), channel n_freqs+i is
+    -window*sin(2*pi*i*n/N) (rfft sign convention; sign is irrelevant after
+    squaring but kept correct for reuse)."""
+    n_freqs = n_fft // 2 + 1
+    n = np.arange(n_fft, dtype=np.float64)
+    # periodic Hann, matching HF window_function(400, "hann")
+    window = 0.5 * (1.0 - np.cos(2.0 * np.pi * n / n_fft))
+    k = np.arange(n_freqs, dtype=np.float64)
+    ang = 2.0 * np.pi * np.outer(k, n) / n_fft               # (n_freqs, n_fft)
+    real = np.cos(ang) * window[None, :]
+    imag = -np.sin(ang) * window[None, :]
+    dft = np.concatenate([real, imag], axis=0).astype(np.float32)
+    dft_kernel = dft[:, None, :]                             # (2F, 1, n_fft)
+    mel_fb = mel_filter_bank(n_freqs, n_mels, sample_rate)
+    return dft_kernel, mel_fb
+
+
+def log_mel_spectrogram(audio: jax.Array, cfg: WhisperConfig) -> jax.Array:
+    """Batched log-mel frontend: (B, n_samples) f32 -> (B, n_mels, n_frames).
+
+    Pure function of the input; jit/vmap/pjit-compatible, static shapes.
+    The caller pads/truncates audio to cfg.n_samples (30 s window).
+    """
+    if audio.ndim == 1:
+        audio = audio[None]
+    dft_np, mel_np = _frontend_constants(cfg.n_fft, cfg.n_mels, cfg.sample_rate)
+    dft_kernel = jnp.asarray(dft_np)
+    mel_fb = jnp.asarray(mel_np)
+
+    pad = cfg.n_fft // 2
+    x = jnp.pad(audio.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
+    # STFT as one strided conv on the MXU: (B, 1, T+2p) * (2F, 1, n_fft)
+    spec = jax.lax.conv_general_dilated(
+        x[:, None, :], dft_kernel,
+        window_strides=(cfg.hop_length,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                        # (B, 2F, frames)
+    n_freqs = cfg.n_freqs
+    power = spec[:, :n_freqs, :] ** 2 + spec[:, n_freqs:, :] ** 2
+    mel = jnp.einsum("mf,bft->bmt", mel_fb, power,
+                     precision=jax.lax.Precision.HIGHEST)
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    log_spec = log_spec[:, :, :-1]                           # drop final frame
+    # per-sample dynamic-range clamp then affine, matching HF
+    max_per = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_spec, max_per - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
+def pad_or_trim(audio: np.ndarray, n_samples: int) -> np.ndarray:
+    """Host-side helper: right-pad with zeros / truncate to one window."""
+    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+    if audio.shape[0] >= n_samples:
+        return audio[:n_samples]
+    return np.pad(audio, (0, n_samples - audio.shape[0]))

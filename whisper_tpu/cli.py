@@ -1,0 +1,86 @@
+"""Command-line transcription entry point (replaces reference main.mojo).
+
+Usage:
+    python -m whisper_tpu.cli --audio clip.wav --weights w.npz --model tiny
+    python -m whisper_tpu.cli --mel sample_input.bin \
+        --flat-bin whisper_tiny_weights.bin            # reference artifacts
+
+Unlike the reference (filenames hardcoded at main.mojo:16-24, zero flags),
+everything is a flag: model size, weight format, language, task, input kind.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="whisper_tpu", description=__doc__)
+    p.add_argument("--model", default="tiny")
+    p.add_argument("--weights", help="npz checkpoint (named arrays)")
+    p.add_argument("--flat-bin", help="reference-format flat fp32 weight blob")
+    p.add_argument("--random-weights", action="store_true",
+                   help="random init (benchmarks without a checkpoint)")
+    p.add_argument("--audio", help="input WAV file")
+    p.add_argument("--mel", help="precomputed mel .bin "
+                   "(n_mels x n_frames fp32, reference sample_input.bin)")
+    p.add_argument("--vocab", help="vocab.txt path (default: bundled asset)")
+    p.add_argument("--language", default="en")
+    p.add_argument("--task", default="transcribe",
+                   choices=["transcribe", "translate"])
+    p.add_argument("--reference-detok", action="store_true",
+                   help="use the reference's lossy Ġ/\\n detokenizer")
+    p.add_argument("--max-new", type=int, default=None,
+                   help="cap on generated tokens (default: reference's 195)")
+    args = p.parse_args(argv)
+
+    from whisper_tpu.config import get_config
+    from whisper_tpu.pipeline import WhisperPipeline, load_wav
+    from whisper_tpu.tokenizer import Tokenizer, build_prompt
+
+    cfg = get_config(args.model)
+    if args.flat_bin:
+        pipe = WhisperPipeline.from_flat_bin(args.flat_bin, args.model, args.vocab)
+    elif args.weights:
+        pipe = WhisperPipeline.from_npz(args.weights, args.model)
+    elif args.random_weights:
+        pipe = WhisperPipeline.from_random(args.model)
+    else:
+        p.error("need one of --weights / --flat-bin / --random-weights")
+
+    if args.mel:
+        mel = np.fromfile(args.mel, dtype="<f4").reshape(cfg.n_mels, cfg.n_frames)
+        from whisper_tpu.decode import transcribe_tokens
+        import time
+        prompt = jnp.asarray([build_prompt(cfg, args.language, args.task)],
+                             jnp.int32)
+        t0 = time.perf_counter()
+        res = transcribe_tokens(pipe.params, cfg, jnp.asarray(mel)[None], prompt,
+                                max_new=args.max_new)
+        res.tokens.block_until_ready()
+        dt = time.perf_counter() - t0
+        n = int(res.lengths[0])
+        ids = np.asarray(res.tokens)[0, :n].tolist()
+        text = (pipe.tokenizer.decode_reference(ids) if args.reference_detok
+                else pipe.tokenizer.decode(ids))
+        print(f"transcribe: {dt:.3f}s (incl. first-call compile)")
+        print("tokens:", ids)
+        print("text:", text)
+        return 0
+
+    if not args.audio:
+        p.error("need --audio or --mel")
+    wav = load_wav(args.audio, cfg.sample_rate)
+    r = pipe.transcribe(wav, args.language, args.task, max_new=args.max_new)
+    print(f"timings: {r.timings}")
+    print("tokens:", r.tokens)
+    print("text:", r.text)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

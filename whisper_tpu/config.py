@@ -1,0 +1,146 @@
+"""Model configuration for the full Whisper family.
+
+Replaces the reference's compile-time aliases (reference config.mojo:4-17) and
+the runtime WhisperConfig whose only factory is tiny()
+(reference whisper.mojo:15-31). Unlike the reference — which supports exactly
+Whisper-Tiny — this table covers tiny..large-v3-turbo, both multilingual and
+.en variants.
+
+All shapes derived from a config are static so that everything downstream is
+jit-compilable with one trace per (model, batch) pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    name: str
+    # Audio frontend (reference export_weights.py:116: HF WhisperProcessor STFT)
+    sample_rate: int = 16_000
+    n_fft: int = 400
+    hop_length: int = 160
+    chunk_length_s: int = 30
+    n_mels: int = 80
+    # Encoder
+    n_audio_ctx: int = 1500          # reference config.mojo MAX_SEQ_LEN
+    d_model: int = 384               # reference config.mojo D_MODEL
+    n_heads: int = 6                 # reference config.mojo N_HEADS
+    n_audio_layers: int = 4          # reference config.mojo N_LAYERS
+    # Decoder
+    n_text_layers: int = 4
+    n_text_ctx: int = 448            # reference config.mojo MAX_TOKENS
+    vocab_size: int = 51_865         # reference config.mojo VOCAB_SIZE
+    multilingual: bool = True
+    # Numerics. fp32 + HIGHEST on the logit path preserves the reference's
+    # bit-identical-token contract (readme.md:19); bf16 is the fast path.
+    compute_dtype: str = "float32"
+    ln_eps: float = 1e-5
+    # Special-token layout. eot/sot/etc. cannot be derived from vocab_size
+    # alone: large-v3 adds a 100th language token, shifting every task token
+    # by +1 while keeping eot at 50257.
+    eot_token: int = 50_257          # <|endoftext|>; 50256 for .en models
+    n_languages: int = 99            # 100 for large-v3 family
+
+    # ---- derived static shapes ----
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @property
+    def d_ff(self) -> int:
+        return 4 * self.d_model
+
+    @property
+    def n_frames(self) -> int:
+        """Mel frames per 30 s window (reference: 3000)."""
+        return self.chunk_length_s * self.sample_rate // self.hop_length
+
+    @property
+    def n_samples(self) -> int:
+        """Audio samples per window (480_000 at 16 kHz / 30 s)."""
+        return self.chunk_length_s * self.sample_rate
+
+    @property
+    def n_freqs(self) -> int:
+        return self.n_fft // 2 + 1
+
+    # ---- special token ids (ids match vocab.txt line-1, verified in
+    # SURVEY.md §2.3 against reference whisper.mojo:188-191) ----
+    @property
+    def sot_token(self) -> int:
+        return self.eot_token + 1      # 50258 <|startoftranscript|>
+
+    @property
+    def first_language_token(self) -> int:
+        return self.sot_token + 1      # 50259 == <|en|>
+
+    @property
+    def translate_token(self) -> int:
+        return self.first_language_token + self.n_languages  # 50358
+
+    @property
+    def transcribe_token(self) -> int:
+        return self.translate_token + 1                      # 50359
+
+    @property
+    def no_timestamps_token(self) -> int:
+        return self.transcribe_token + 4                     # 50363
+
+    @property
+    def timestamp_begin(self) -> int:
+        return self.no_timestamps_token + 1  # 50364 == <|0.00|>
+
+    @property
+    def max_new_tokens(self) -> int:
+        """Reference caps the greedy loop at 195 steps after a 4-token
+        prompt + 1 prefill-argmax token (reference whisper.mojo:205)."""
+        return 195
+
+    def replace(self, **kw) -> "WhisperConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _cfg(name: str, d_model: int, n_heads: int, enc_layers: int,
+         dec_layers: Optional[int] = None, vocab: int = 51_865,
+         n_mels: int = 80, multilingual: bool = True,
+         eot: int = 50_257, n_languages: int = 99) -> WhisperConfig:
+    return WhisperConfig(
+        name=name, d_model=d_model, n_heads=n_heads,
+        n_audio_layers=enc_layers,
+        n_text_layers=dec_layers if dec_layers is not None else enc_layers,
+        vocab_size=vocab, n_mels=n_mels, multilingual=multilingual,
+        eot_token=eot, n_languages=n_languages,
+    )
+
+
+# Official OpenAI Whisper family dimensions.
+CONFIGS: dict[str, WhisperConfig] = {
+    "tiny":            _cfg("tiny", 384, 6, 4),
+    "tiny.en":         _cfg("tiny.en", 384, 6, 4, vocab=51_864,
+                            multilingual=False, eot=50_256),
+    "base":            _cfg("base", 512, 8, 6),
+    "base.en":         _cfg("base.en", 512, 8, 6, vocab=51_864,
+                            multilingual=False, eot=50_256),
+    "small":           _cfg("small", 768, 12, 12),
+    "small.en":        _cfg("small.en", 768, 12, 12, vocab=51_864,
+                            multilingual=False, eot=50_256),
+    "medium":          _cfg("medium", 1024, 16, 24),
+    "medium.en":       _cfg("medium.en", 1024, 16, 24, vocab=51_864,
+                            multilingual=False, eot=50_256),
+    "large-v2":        _cfg("large-v2", 1280, 20, 32),
+    "large-v3":        _cfg("large-v3", 1280, 20, 32, vocab=51_866,
+                            n_mels=128, n_languages=100),
+    "large-v3-turbo":  _cfg("large-v3-turbo", 1280, 20, 32, dec_layers=4,
+                            vocab=51_866, n_mels=128, n_languages=100),
+}
+
+
+def get_config(name: str) -> WhisperConfig:
+    try:
+        return CONFIGS[name]
+    except KeyError:
+        raise ValueError(f"unknown model {name!r}; have {sorted(CONFIGS)}") from None

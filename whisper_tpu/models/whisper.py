@@ -1,0 +1,293 @@
+"""Whisper encoder/decoder as pure functions over a params pytree.
+
+Design (TPU-first, not a translation of the reference):
+  * All functions are pure and jit-compatible with static shapes; the KV
+    cache is a fixed-shape (L, B, S_max, H, Dh) array pair updated with
+    `lax.dynamic_update_slice` — replacing the reference's preallocated
+    cache + append cursor + aliasing `Tensor.view` (layers.mojo:14-69,
+    :130-147).
+  * Transformer layers are *stacked* along a leading axis and traversed with
+    `lax.scan`, so XLA compiles one layer body regardless of depth — the
+    tiny/…/large-v3 family differs only in array shapes.
+  * Elementwise stages (LayerNorm, GeLU, residual adds, softmax) are plain
+    jnp ops; XLA fuses them into the surrounding matmuls. The reference
+    hand-vectorizes each of these (whisper_tensor.mojo:249-355); on TPU that
+    is the compiler's job.
+  * Linear weights are stored (in, out) so every projection is a plain
+    `x @ w` MXU matmul; the HF/reference (out, in) layout is transposed once
+    at load time (weights.py), mirroring how the reference pre-transposes
+    conv weights at load (whisper.mojo:61-63).
+
+Parity notes:
+  * k_proj has no bias (HF contract; reference load order layers.mojo:96-103).
+    For a uniform pytree the bias slot exists but is zeros.
+  * GeLU is the exact erf form, matching torch nn.GELU / HF "gelu". (The
+    reference uses the tanh approximation, whisper_tensor.mojo:288-308, and
+    still matched PyTorch tokens; we match torch exactly.)
+  * Attention scale = head_dim**-0.5 applied to q (layers.mojo:184).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.config import WhisperConfig
+from whisper_tpu.ops.attention import mha_reference
+
+Params = Any    # nested dict pytree
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+def layer_norm(x: jax.Array, g: jax.Array, b: jax.Array,
+               eps: float = 1e-5) -> jax.Array:
+    """Row-wise LayerNorm (reference whisper_tensor.mojo:249-285). Computed
+    in fp32 regardless of activation dtype."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * g + b).astype(x.dtype)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) GeLU, matching torch nn.GELU."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def linear(x: jax.Array, p: Params, precision=HIGHEST) -> jax.Array:
+    """x @ w + b with w stored (in, out)."""
+    return jnp.dot(x, p["w"], precision=precision) + p["b"]
+
+
+def split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    """(B, T, d) -> (B, T, H, Dh)."""
+    b, t, d = x.shape
+    return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    b, t, h, dh = x.shape
+    return x.reshape(b, t, h * dh)
+
+
+# ---------------------------------------------------------------------------
+# parameter initialization (for tests / benchmarks without real checkpoints)
+# ---------------------------------------------------------------------------
+
+def _init_linear(key, d_in, d_out, scale=0.02):
+    kw, _ = jax.random.split(key)
+    return {"w": jax.random.normal(kw, (d_in, d_out), jnp.float32) * scale,
+            "b": jnp.zeros((d_out,), jnp.float32)}
+
+
+def _init_ln(d):
+    return {"g": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def init_params(cfg: WhisperConfig, key: jax.Array) -> Params:
+    """Random params with the exact shapes of a converted checkpoint."""
+    keys = iter(jax.random.split(key, 64 + 16 * (cfg.n_audio_layers + cfg.n_text_layers)))
+    d, ff = cfg.d_model, cfg.d_ff
+
+    def attn_params():
+        p = {n: _init_linear(next(keys), d, d) for n in ("q", "k", "v", "o")}
+        p["k"]["b"] = jnp.zeros((d,), jnp.float32)  # k has no bias (HF contract)
+        return p
+
+    def enc_layer():
+        return {"attn": attn_params(), "attn_ln": _init_ln(d),
+                "fc1": _init_linear(next(keys), d, ff),
+                "fc2": _init_linear(next(keys), ff, d),
+                "mlp_ln": _init_ln(d)}
+
+    def dec_layer():
+        p = enc_layer()
+        p["cross_attn"] = attn_params()
+        p["cross_ln"] = _init_ln(d)
+        return p
+
+    sinusoid = sinusoidal_positions(cfg.n_audio_ctx, d)
+    return {
+        "encoder": {
+            "conv1": {"w": jax.random.normal(next(keys), (d, cfg.n_mels, 3)) * 0.02,
+                      "b": jnp.zeros((d,))},
+            "conv2": {"w": jax.random.normal(next(keys), (d, d, 3)) * 0.02,
+                      "b": jnp.zeros((d,))},
+            "pos_emb": sinusoid,
+            "layers": _stack([enc_layer() for _ in range(cfg.n_audio_layers)]),
+            "ln_post": _init_ln(d),
+        },
+        "decoder": {
+            "tok_emb": jax.random.normal(next(keys), (cfg.vocab_size, d)) * 0.02,
+            "pos_emb": jax.random.normal(next(keys), (cfg.n_text_ctx, d)) * 0.02,
+            "layers": _stack([dec_layer() for _ in range(cfg.n_text_layers)]),
+            "ln": _init_ln(d),
+        },
+    }
+
+
+def sinusoidal_positions(length: int, channels: int) -> jax.Array:
+    """Whisper's fixed sinusoidal encoder positions (the reference loads
+    these as a 1500x384 weight; we can also synthesize them)."""
+    import numpy as np
+    log_timescale = np.log(10_000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return jnp.asarray(np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1),
+                       dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def encoder_forward(params: Params, cfg: WhisperConfig,
+                    mel: jax.Array) -> jax.Array:
+    """(B, n_mels, n_frames) -> (B, n_audio_ctx, d_model).
+
+    conv1 (k3 s1 p1) -> GeLU -> conv2 (k3 s2 p1) -> GeLU -> +pos ->
+    N pre-norm blocks -> final LN (reference whisper.mojo:34-99)."""
+    enc = params["encoder"]
+    dtype = jnp.dtype(cfg.compute_dtype)
+    x = mel.astype(dtype)
+
+    def conv(x, p, stride):
+        return jax.lax.conv_general_dilated(
+            x, p["w"].astype(dtype), window_strides=(stride,),
+            padding=[(1, 1)], dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=HIGHEST,
+        ) + p["b"].astype(dtype)[None, :, None]
+
+    x = gelu(conv(x, enc["conv1"], 1))
+    x = gelu(conv(x, enc["conv2"], 2))
+    x = jnp.transpose(x, (0, 2, 1))                     # (B, T, d)
+    x = x + enc["pos_emb"].astype(dtype)
+
+    def block(h, lp):
+        r = h
+        y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
+        q = split_heads(linear(y, lp["attn"]["q"]), cfg.n_heads)
+        k = split_heads(linear(y, lp["attn"]["k"]), cfg.n_heads)
+        v = split_heads(linear(y, lp["attn"]["v"]), cfg.n_heads)
+        a = merge_heads(mha_reference(q, k, v))
+        h = r + linear(a, lp["attn"]["o"])
+        r = h
+        y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], cfg.ln_eps)
+        y = linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
+        return r + y, None
+
+    x, _ = jax.lax.scan(block, x, enc["layers"])
+    return layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"], cfg.ln_eps)
+
+
+# ---------------------------------------------------------------------------
+# decoder + KV cache
+# ---------------------------------------------------------------------------
+
+def init_kv_cache(cfg: WhisperConfig, batch: int,
+                  dtype=jnp.float32) -> dict[str, jax.Array]:
+    """Fixed-shape self-attention cache (replaces reference LayerCache's
+    preallocated 448x384 buffers + current_len cursor, layers.mojo:14-52)."""
+    shape = (cfg.n_text_layers, batch, cfg.n_text_ctx, cfg.n_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def precompute_cross_kv(params: Params, cfg: WhisperConfig,
+                        enc_out: jax.Array) -> dict[str, jax.Array]:
+    """Project encoder output into every decoder layer's cross-attn K/V once
+    (replaces the has_cross compute-once guard, reference layers.mojo:148-157).
+
+    Returns {"k","v"}: (L, B, n_audio_ctx, H, Dh)."""
+    def proj(lp):
+        k = split_heads(linear(enc_out, lp["cross_attn"]["k"]), cfg.n_heads)
+        v = split_heads(linear(enc_out, lp["cross_attn"]["v"]), cfg.n_heads)
+        return k, v
+
+    ks, vs = jax.vmap(proj)(params["decoder"]["layers"])
+    return {"k": ks, "v": vs}
+
+
+def decoder_forward(params: Params, cfg: WhisperConfig,
+                    tokens: jax.Array, pos_offset: jax.Array,
+                    kv_cache: dict[str, jax.Array],
+                    cross_kv: dict[str, jax.Array],
+                    ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """One decoder pass over T new tokens with cache append.
+
+    Args:
+      tokens: (B, T) int32 — T is static (prompt length for prefill, 1 for
+        incremental steps; reference whisper.mojo:195-197 and :212-218).
+      pos_offset: scalar int — absolute position of tokens[:, 0].
+      kv_cache: self-attn cache from init_kv_cache; new K/V are written at
+        positions [pos_offset, pos_offset+T).
+      cross_kv: from precompute_cross_kv.
+
+    Returns:
+      logits (B, T, vocab) fp32, updated kv_cache.
+    """
+    dec = params["decoder"]
+    dtype = jnp.dtype(cfg.compute_dtype)
+    B, T = tokens.shape
+    S = cfg.n_text_ctx
+
+    h = dec["tok_emb"][tokens].astype(dtype)
+    pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos_offset, T)
+    h = h + pos.astype(dtype)
+
+    # self-attn mask over the full padded cache: key j visible to query i iff
+    # j <= pos_offset + i (cache-relative causal mask, reference
+    # layers.mojo:213,311-317). Unwritten cache slots are masked out too.
+    key_idx = jnp.arange(S)[None, :]
+    q_idx = jnp.arange(T)[:, None]
+    self_mask = key_idx <= (pos_offset + q_idx)         # (T, S)
+
+    def block(h, xs):
+        lp, ck_l, cv_l, xk_l, xv_l = xs
+        # --- self attention with cache append ---
+        r = h
+        y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
+        q = split_heads(linear(y, lp["attn"]["q"]), cfg.n_heads)
+        k_new = split_heads(linear(y, lp["attn"]["k"]), cfg.n_heads)
+        v_new = split_heads(linear(y, lp["attn"]["v"]), cfg.n_heads)
+        ck_l = jax.lax.dynamic_update_slice(ck_l, k_new.astype(ck_l.dtype),
+                                            (0, pos_offset, 0, 0))
+        cv_l = jax.lax.dynamic_update_slice(cv_l, v_new.astype(cv_l.dtype),
+                                            (0, pos_offset, 0, 0))
+        a = merge_heads(mha_reference(q, ck_l.astype(dtype), cv_l.astype(dtype),
+                                      self_mask))
+        h = r + linear(a, lp["attn"]["o"])
+        # --- cross attention over precomputed encoder K/V ---
+        r = h
+        y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"], cfg.ln_eps)
+        q = split_heads(linear(y, lp["cross_attn"]["q"]), cfg.n_heads)
+        a = merge_heads(mha_reference(q, xk_l.astype(dtype), xv_l.astype(dtype)))
+        h = r + linear(a, lp["cross_attn"]["o"])
+        # --- MLP ---
+        r = h
+        y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], cfg.ln_eps)
+        y = linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
+        return r + y, (ck_l, cv_l)
+
+    h, (new_k, new_v) = jax.lax.scan(
+        block, h,
+        (dec["layers"], kv_cache["k"], kv_cache["v"],
+         cross_kv["k"], cross_kv["v"]))
+
+    h = layer_norm(h, dec["ln"]["g"], dec["ln"]["b"], cfg.ln_eps)
+    # tied-embedding logit projection in fp32/HIGHEST — this is the path that
+    # decides the argmax, so it stays full precision (reference deliberately
+    # keeps this matmul simple too, whisper.mojo:162-166).
+    logits = jnp.dot(h.astype(jnp.float32), dec["tok_emb"].T.astype(jnp.float32),
+                     precision=HIGHEST)
+    return logits, {"k": new_k, "v": new_v}

@@ -1,0 +1,142 @@
+"""End-to-end transcription pipeline.
+
+Replaces the reference's main.mojo:11-45 flow (load weights -> load vocab ->
+read mel -> transcribe -> decode tokens) with a reusable object that owns the
+jitted compute graph and produces per-phase timing (the observability the
+reference only has as ad-hoc perf_counter prints, main.mojo:29-33).
+
+Long-form audio (reference: hard 30 s cap, export_weights.py:112-114) is
+handled by sliding 30 s windows with fresh KV state per window and
+previous-window text conditioning optional — each window is one jitted call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.audio import log_mel_spectrogram, pad_or_trim
+from whisper_tpu.config import WhisperConfig, get_config
+from whisper_tpu.decode import transcribe_tokens
+from whisper_tpu.tokenizer import Tokenizer, build_prompt
+from whisper_tpu import weights as weights_lib
+
+
+@dataclasses.dataclass
+class Transcription:
+    text: str
+    tokens: list[int]
+    timings: dict[str, float]
+
+
+class WhisperPipeline:
+    def __init__(self, cfg: WhisperConfig | str, params,
+                 tokenizer: Optional[Tokenizer] = None):
+        self.cfg = get_config(cfg) if isinstance(cfg, str) else cfg
+        self.params = params
+        self.tokenizer = tokenizer or Tokenizer(config=self.cfg)
+
+    # ---- constructors ----
+    @classmethod
+    def from_flat_bin(cls, path: str, model: str = "tiny",
+                      vocab_path: Optional[str] = None) -> "WhisperPipeline":
+        """Load a reference-format headerless fp32 weight blob
+        (SURVEY.md §2.5 contract)."""
+        cfg = get_config(model)
+        with open(path, "rb") as f:
+            params = weights_lib.from_flat_bin(f.read(), cfg)
+        return cls(cfg, weights_lib.to_device(params),
+                   Tokenizer(vocab_path, config=cfg))
+
+    @classmethod
+    def from_npz(cls, path: str, model: str = "tiny") -> "WhisperPipeline":
+        cfg = get_config(model)
+        params = weights_lib.load_npz(path, cfg)
+        return cls(cfg, weights_lib.to_device(params))
+
+    @classmethod
+    def from_random(cls, model: str = "tiny", seed: int = 0) -> "WhisperPipeline":
+        """Random weights — for benchmarks and tests without checkpoints."""
+        from whisper_tpu.models.whisper import init_params
+        cfg = get_config(model)
+        return cls(cfg, init_params(cfg, jax.random.PRNGKey(seed)))
+
+    # ---- inference ----
+    def transcribe_window(self, audio: np.ndarray, language: str = "en",
+                          task: str = "transcribe",
+                          max_new: Optional[int] = None) -> Transcription:
+        """Transcribe one <=30 s window (the reference's whole capability)."""
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        wav = jnp.asarray(pad_or_trim(audio, cfg.n_samples))[None]
+        mel = log_mel_spectrogram(wav, cfg)
+        mel.block_until_ready()
+        t1 = time.perf_counter()
+        prompt = jnp.asarray([build_prompt(cfg, language, task)], jnp.int32)
+        res = transcribe_tokens(self.params, cfg, mel, prompt, max_new=max_new)
+        res.tokens.block_until_ready()
+        t2 = time.perf_counter()
+        n = int(res.lengths[0])
+        ids = np.asarray(res.tokens)[0, :n].tolist()
+        text = self.tokenizer.decode(ids)
+        t3 = time.perf_counter()
+        return Transcription(
+            text=text, tokens=ids,
+            timings={"mel_s": t1 - t0, "decode_s": t2 - t1,
+                     "detok_s": t3 - t2, "total_s": t3 - t0})
+
+    def transcribe(self, audio: np.ndarray, language: str = "en",
+                   task: str = "transcribe",
+                   max_new: Optional[int] = None) -> Transcription:
+        """Long-form: sliding non-overlapping 30 s windows."""
+        cfg = self.cfg
+        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        n_win = max(1, -(-len(audio) // cfg.n_samples))
+        texts, all_ids = [], []
+        timings = {"mel_s": 0.0, "decode_s": 0.0, "detok_s": 0.0, "total_s": 0.0}
+        for w in range(n_win):
+            chunk = audio[w * cfg.n_samples:(w + 1) * cfg.n_samples]
+            r = self.transcribe_window(chunk, language, task, max_new=max_new)
+            texts.append(r.text)
+            all_ids.extend(r.tokens)
+            for k in timings:
+                timings[k] += r.timings[k]
+        return Transcription(text="".join(texts), tokens=all_ids,
+                             timings=timings)
+
+
+def load_wav(path: str, target_rate: int = 16_000) -> np.ndarray:
+    """Host-side WAV loader + resampler (reference does this offline in
+    Python: export_weights.py:96-111 — download, mono mix, scipy resample)."""
+    import wave
+
+    with wave.open(path, "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    if rate != target_rate:
+        try:
+            from scipy.signal import resample
+            x = resample(x, int(len(x) * target_rate / rate)).astype(np.float32)
+        except ImportError:
+            t_old = np.arange(len(x)) / rate
+            t_new = np.arange(int(len(x) * target_rate / rate)) / target_rate
+            x = np.interp(t_new, t_old, x).astype(np.float32)
+    return x

@@ -1,0 +1,154 @@
+"""Whisper tokenizer: vocab-table detokenization + prompt construction.
+
+Parity target: reference tokenizer.mojo:4-28 — loads `vocab.txt` (51,865
+lines, token ID = line number - 1), and `decode()` drops `<|...|>` specials,
+maps `Ġ` -> space and the literal two-character escape `\\n` -> newline, then
+concatenates. That "reference mode" is reproduced byte-for-byte here.
+
+Beyond the reference, this module also implements the *correct* GPT-2
+byte-level decoder (`mode="bytes"`): vocab entries are strings over the GPT-2
+printable-unicode alphabet; proper decoding maps each character back to its
+byte and utf-8-decodes the byte stream. The reference's Ġ/\\n hack is a lossy
+approximation of this.
+
+Prompt construction generalizes the 4 hardcoded ids at reference
+whisper.mojo:188-191 ([50258, 50259, 50359, 50363]) to any
+language/task/timestamp combination across the model family.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Iterable, Optional, Sequence
+
+from whisper_tpu.config import WhisperConfig
+
+# Whisper language codes in token-id order: <|en|> = sot+1, <|zh|> = sot+2, ...
+# Verified against the reference vocab.txt lines 50260-50358 (id = line-1).
+LANGUAGES: tuple[str, ...] = (
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca",
+    "nl", "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms",
+    "cs", "ro", "da", "hu", "ta", "no", "th", "ur", "hr", "bg", "lt", "la",
+    "mi", "ml", "cy", "sk", "te", "fa", "lv", "bn", "sr", "az", "sl", "kn",
+    "et", "mk", "br", "eu", "is", "hy", "ne", "mn", "bs", "kk", "sq", "sw",
+    "gl", "mr", "pa", "si", "km", "sn", "yo", "so", "af", "oc", "ka", "be",
+    "tg", "sd", "gu", "am", "yi", "lo", "uz", "fo", "ht", "ps", "tk", "nn",
+    "mt", "sa", "lb", "my", "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha",
+    "ba", "jw", "su",
+    "yue",  # 100th language, large-v3 family only
+)
+
+_ASSET_VOCAB = os.path.join(os.path.dirname(__file__), "assets", "vocab.txt")
+
+
+@functools.lru_cache(maxsize=4)
+def _byte_decoder() -> dict[str, int]:
+    """Inverse of GPT-2's bytes_to_unicode table (standard public algorithm:
+    printable bytes map to themselves; the rest map to U+0100+n)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {chr(c): b for b, c in zip(bs, cs)}
+
+
+class Tokenizer:
+    """Decode-first tokenizer over a whisper vocab table.
+
+    The table format is the reference's `vocab.txt` contract: one token
+    string per line, ID = line number - 1, real newlines inside tokens
+    escaped as the literal two characters ``\\n``.
+    """
+
+    def __init__(self, vocab_path: Optional[str] = None,
+                 config: Optional[WhisperConfig] = None):
+        self.config = config
+        path = vocab_path or _ASSET_VOCAB
+        with open(path, encoding="utf-8") as f:
+            # Token strings keep their literal \n escapes; unescaping is
+            # decode-mode-dependent.
+            self.tokens: list[str] = f.read().split("\n")
+        if self.tokens and self.tokens[-1] == "":
+            self.tokens.pop()
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.tokens)
+
+    # ---- reference-parity decode (tokenizer.mojo:15-28) ----
+    def decode_reference(self, ids: Iterable[int]) -> str:
+        out: list[str] = []
+        for tid in ids:
+            tok = self.tokens[int(tid)]
+            if tok.startswith("<|") and tok.endswith("|>"):
+                continue
+            out.append(tok.replace("Ġ", " ").replace("\\n", "\n"))
+        return "".join(out)
+
+    # ---- correct GPT-2 byte-level decode ----
+    def decode(self, ids: Iterable[int], skip_special: bool = True) -> str:
+        bd = _byte_decoder()
+        buf = bytearray()
+        parts: list[str] = []
+        for tid in ids:
+            tok = self.tokens[int(tid)]
+            if tok.startswith("<|") and tok.endswith("|>"):
+                if skip_special:
+                    continue
+                if buf:
+                    parts.append(buf.decode("utf-8", errors="replace"))
+                    buf = bytearray()
+                parts.append(tok)
+                continue
+            for ch in tok.replace("\\n", "\n"):
+                b = bd.get(ch)
+                buf.append(b if b is not None else ord("?"))
+        if buf:
+            parts.append(buf.decode("utf-8", errors="replace"))
+        return "".join(parts)
+
+    def id_to_token(self, tid: int) -> str:
+        return self.tokens[int(tid)]
+
+
+def language_token(cfg: WhisperConfig, language: str) -> int:
+    lang = language.lower()
+    try:
+        idx = LANGUAGES.index(lang)
+    except ValueError:
+        raise ValueError(f"unknown language {language!r}") from None
+    if idx >= cfg.n_languages:
+        raise ValueError(f"language {language!r} not in {cfg.name}'s vocab")
+    return cfg.first_language_token + idx
+
+
+def build_prompt(cfg: WhisperConfig, language: str = "en",
+                 task: str = "transcribe",
+                 timestamps: bool = False,
+                 prev_tokens: Sequence[int] = ()) -> list[int]:
+    """SOT prompt sequence. For (tiny, en, transcribe, no timestamps) this is
+    exactly the reference's hardcoded [50258, 50259, 50359, 50363]
+    (reference whisper.mojo:188-191)."""
+    ids: list[int] = []
+    if prev_tokens:
+        ids.append(cfg.sot_token + 3)  # <|startofprev|>
+        ids.extend(int(t) for t in prev_tokens)
+    ids.append(cfg.sot_token)
+    if cfg.multilingual:
+        ids.append(language_token(cfg, language))
+        if task == "transcribe":
+            ids.append(cfg.transcribe_token)
+        elif task == "translate":
+            ids.append(cfg.translate_token)
+        else:
+            raise ValueError(f"unknown task {task!r}")
+    if not timestamps:
+        ids.append(cfg.no_timestamps_token)
+    return ids
