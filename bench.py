@@ -1,0 +1,87 @@
+"""Benchmark: batched Whisper-Tiny greedy transcription RTFx per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference engine transcribes one 30 s clip in 0.74 s on a
+multicore CPU (reference readme.md:82) => RTFx ~= 40.5 single-stream. The
+north-star target (BASELINE.json) is >=100x real-time *batched* per TPU v5e
+chip. This harness measures end-to-end on-device work — log-mel frontend +
+encoder + 4-token prefill + an 89-token greedy decode (matching the
+reference clip's 89 golden tokens, expected_tokens.txt) — at batch 8, on
+random tiny weights (real checkpoints are unavailable offline; the compute
+is weight-value-independent since the step count is fixed).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 8
+GEN_TOKENS = 89          # decode exactly as many tokens as the golden clip
+BASELINE_RTFX = 30.0 / 0.74
+REPEATS = 5
+
+
+def main() -> None:
+    from whisper_tpu.audio import log_mel_spectrogram
+    from whisper_tpu.config import get_config
+    from whisper_tpu.decode import greedy_decode
+    from whisper_tpu.models.whisper import encoder_forward, init_params
+    from whisper_tpu.tokenizer import build_prompt
+
+    cfg = get_config("tiny")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    prompt = jnp.asarray(np.tile(build_prompt(cfg), (BATCH, 1)), jnp.int32)
+
+    rng = np.random.RandomState(0)
+    t = np.arange(cfg.n_samples) / cfg.sample_rate
+    audio = np.stack([
+        0.3 * np.sin(2 * np.pi * (200 + 40 * b) * t)
+        + 0.05 * rng.randn(cfg.n_samples)
+        for b in range(BATCH)
+    ]).astype(np.float32)
+    audio_dev = jnp.asarray(audio)
+
+    @jax.jit
+    def run(params, audio, prompt):
+        mel = log_mel_spectrogram(audio, cfg)
+        enc = encoder_forward(params, cfg, mel)
+        # logit_bias forbids EOT so every row decodes the full GEN_TOKENS
+        # (fixed work, independent of random-weight argmax behavior)
+        bias = jnp.zeros((cfg.vocab_size,), jnp.float32)
+        bias = bias.at[cfg.eot_token].set(-1e9)
+        return greedy_decode(params, cfg, enc, prompt,
+                             max_new=GEN_TOKENS - 1, logit_bias=bias)
+
+    # warmup/compile
+    res = run(params, audio_dev, prompt)
+    res.tokens.block_until_ready()
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        res = run(params, audio_dev, prompt)
+        res.tokens.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    p50 = float(np.median(times))
+    rtfx = BATCH * cfg.chunk_length_s / p50
+    print(json.dumps({
+        "metric": "rtfx_per_chip_tiny_b8_greedy89",
+        "value": round(rtfx, 2),
+        "unit": "audio_s_per_wall_s",
+        "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
+        "p50_e2e_s": round(p50, 4),
+        "batch": BATCH,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin's sitecustomize force-overrides jax_platforms to
+# "axon,cpu" regardless of JAX_PLATFORMS; re-pin to cpu so tests run on the
+# 8-device virtual CPU mesh, not over the single-chip TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import numpy as np  # noqa: E402

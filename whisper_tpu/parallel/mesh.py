@@ -1,0 +1,90 @@
+"""Mesh construction and sharding rules for the Whisper family.
+
+Strategy (see SURVEY.md §2.6 for why the reference has nothing comparable):
+
+  * **dp** (data parallel): batch dimension of mel/tokens/KV-cache. The
+    batched-decode configs in BASELINE.json scale this way.
+  * **tp** (tensor parallel): Megatron-style within every transformer block —
+    QKV projections column-sharded (heads split across chips), out-proj
+    row-sharded; fc1 column-sharded, fc2 row-sharded; vocab embedding
+    row-sharded so the 51k-logit matmul is split. XLA/GSPMD inserts the
+    psum/all-gathers over ICI.
+  * **sp** (sequence parallel over the 1500-frame encoder) and **pp** are
+    planned for Large-v3 long-form (SURVEY.md §2.6 table); the mesh helper
+    accepts extra axes so those land without relayout.
+
+All rules are expressed as PartitionSpecs over the *stacked-layer* params
+pytree of models/whisper.py (leading axis = layer, never sharded).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = Any
+
+
+def make_mesh(dp: int = 1, tp: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    """Build a (dp, tp) mesh over the given (default: all) devices."""
+    devices = devices if devices is not None else jax.devices()
+    if dp * tp != len(devices):
+        raise ValueError(f"mesh {dp}x{tp} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def param_pspecs(params: Params) -> Params:
+    """PartitionSpec tree for a params pytree (tp sharding of the weights;
+    dp never touches weights — they are replicated across dp)."""
+
+    def spec_for(path: str, x) -> P:
+        nd = np.ndim(x)
+        # --- embeddings ---
+        if "tok_emb" in path:
+            return P("tp", None)            # vocab-sharded: splits logit matmul
+        if "pos_emb" in path:
+            return P(None, None)
+        # --- conv stem: small; replicate ---
+        if "conv" in path:
+            return P(*([None] * nd))
+        # --- layer norms, biases of row-sharded matmuls: replicated ---
+        if nd <= 2 and ("'g'" in path or ("ln" in path and "'b'" in path)):
+            return P(*([None] * nd))
+        # --- stacked linear weights: (L, in, out) ---
+        if nd == 3:
+            if "fc2" in path or "'o'" in path:
+                return P(None, "tp", None)   # row-parallel (reduce -> psum)
+            return P(None, None, "tp")       # column-parallel (q/k/v, fc1)
+        # --- stacked biases: (L, out) ---
+        if nd == 2:
+            if "fc2" in path or "'o'" in path:
+                return P(None, None)         # bias of row-parallel: replicated
+            return P(None, "tp")
+        # --- unstacked encoder-final / decoder-final LN params (d,) ---
+        return P(*([None] * nd))
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = [spec_for(jax.tree_util.keystr(kp), x) for kp, x in flat]
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    """Place a params pytree onto the mesh per param_pspecs."""
+    specs = param_pspecs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def activation_shardings(mesh: Mesh) -> dict[str, NamedSharding]:
+    """Canonical activation/IO shardings: batch over dp."""
+    return {
+        "mel": NamedSharding(mesh, P("dp", None, None)),      # (B, n_mels, T)
+        "tokens": NamedSharding(mesh, P("dp", None)),         # (B, T)
+        "audio": NamedSharding(mesh, P("dp", None)),          # (B, samples)
+        "replicated": NamedSharding(mesh, P()),
+    }
