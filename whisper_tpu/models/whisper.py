@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from whisper_tpu.config import WhisperConfig
-from whisper_tpu.ops.attention import mha_reference
+from whisper_tpu.ops.attention import multi_head_attention
 
 Params = Any    # nested dict pytree
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -67,9 +67,15 @@ def linear(x: jax.Array, p: Params, precision=HIGHEST) -> jax.Array:
 
 
 def split_heads(x: jax.Array, n_heads: int) -> jax.Array:
-    """(B, T, d) -> (B, T, H, Dh)."""
+    """(B, T, d) -> (B, T, H, Dh) — query layout."""
     b, t, d = x.shape
     return x.reshape(b, t, n_heads, d // n_heads)
+
+
+def split_heads_hm(x: jax.Array, n_heads: int) -> jax.Array:
+    """(B, S, d) -> (B, H, S, Dh) — head-major key/value (KV-cache) layout."""
+    b, s, d = x.shape
+    return x.reshape(b, s, n_heads, d // n_heads).transpose(0, 2, 1, 3)
 
 
 def merge_heads(x: jax.Array) -> jax.Array:
@@ -178,9 +184,10 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
         r = h
         y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
         q = split_heads(linear(y, lp["attn"]["q"]), cfg.n_heads)
-        k = split_heads(linear(y, lp["attn"]["k"]), cfg.n_heads)
-        v = split_heads(linear(y, lp["attn"]["v"]), cfg.n_heads)
-        a = merge_heads(mha_reference(q, k, v))
+        k = split_heads_hm(linear(y, lp["attn"]["k"]), cfg.n_heads)
+        v = split_heads_hm(linear(y, lp["attn"]["v"]), cfg.n_heads)
+        a = merge_heads(multi_head_attention(q, k, v,
+                                             backend=cfg.attn_backend))
         h = r + linear(a, lp["attn"]["o"])
         r = h
         y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], cfg.ln_eps)
@@ -197,9 +204,11 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
 
 def init_kv_cache(cfg: WhisperConfig, batch: int,
                   dtype=jnp.float32) -> dict[str, jax.Array]:
-    """Fixed-shape self-attention cache (replaces reference LayerCache's
-    preallocated 448x384 buffers + current_len cursor, layers.mojo:14-52)."""
-    shape = (cfg.n_text_layers, batch, cfg.n_text_ctx, cfg.n_heads, cfg.head_dim)
+    """Fixed-shape self-attention cache, head-major (replaces reference
+    LayerCache's preallocated 448x384 buffers + current_len cursor,
+    layers.mojo:14-52). Layout (L, B, H, S_max, Dh): per-head rows are
+    contiguous, which is what the Pallas decode kernel streams from HBM."""
+    shape = (cfg.n_text_layers, batch, cfg.n_heads, cfg.n_text_ctx, cfg.head_dim)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -208,10 +217,10 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig,
     """Project encoder output into every decoder layer's cross-attn K/V once
     (replaces the has_cross compute-once guard, reference layers.mojo:148-157).
 
-    Returns {"k","v"}: (L, B, n_audio_ctx, H, Dh)."""
+    Returns {"k","v"}: (L, B, H, n_audio_ctx, Dh) head-major."""
     def proj(lp):
-        k = split_heads(linear(enc_out, lp["cross_attn"]["k"]), cfg.n_heads)
-        v = split_heads(linear(enc_out, lp["cross_attn"]["v"]), cfg.n_heads)
+        k = split_heads_hm(linear(enc_out, lp["cross_attn"]["k"]), cfg.n_heads)
+        v = split_heads_hm(linear(enc_out, lp["cross_attn"]["v"]), cfg.n_heads)
         return k, v
 
     ks, vs = jax.vmap(proj)(params["decoder"]["layers"])
@@ -239,18 +248,16 @@ def decoder_forward(params: Params, cfg: WhisperConfig,
     dec = params["decoder"]
     dtype = jnp.dtype(cfg.compute_dtype)
     B, T = tokens.shape
-    S = cfg.n_text_ctx
 
     h = dec["tok_emb"][tokens].astype(dtype)
     pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos_offset, T)
     h = h + pos.astype(dtype)
 
-    # self-attn mask over the full padded cache: key j visible to query i iff
-    # j <= pos_offset + i (cache-relative causal mask, reference
-    # layers.mojo:213,311-317). Unwritten cache slots are masked out too.
-    key_idx = jnp.arange(S)[None, :]
-    q_idx = jnp.arange(T)[:, None]
-    self_mask = key_idx <= (pos_offset + q_idx)         # (T, S)
+    # self-attn masking is expressed as (kv_len, causal, q_offset): key j
+    # visible to query i iff j <= pos_offset + i (cache-relative causal mask,
+    # reference layers.mojo:213,311-317); unwritten cache slots fall outside
+    # kv_len. The kernels skip whole masked blocks instead of computing them.
+    kv_len = pos_offset + T
 
     def block(h, xs):
         lp, ck_l, cv_l, xk_l, xv_l = xs
@@ -258,20 +265,23 @@ def decoder_forward(params: Params, cfg: WhisperConfig,
         r = h
         y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
         q = split_heads(linear(y, lp["attn"]["q"]), cfg.n_heads)
-        k_new = split_heads(linear(y, lp["attn"]["k"]), cfg.n_heads)
-        v_new = split_heads(linear(y, lp["attn"]["v"]), cfg.n_heads)
+        k_new = split_heads_hm(linear(y, lp["attn"]["k"]), cfg.n_heads)
+        v_new = split_heads_hm(linear(y, lp["attn"]["v"]), cfg.n_heads)
         ck_l = jax.lax.dynamic_update_slice(ck_l, k_new.astype(ck_l.dtype),
-                                            (0, pos_offset, 0, 0))
+                                            (0, 0, pos_offset, 0))
         cv_l = jax.lax.dynamic_update_slice(cv_l, v_new.astype(cv_l.dtype),
-                                            (0, pos_offset, 0, 0))
-        a = merge_heads(mha_reference(q, ck_l.astype(dtype), cv_l.astype(dtype),
-                                      self_mask))
+                                            (0, 0, pos_offset, 0))
+        a = merge_heads(multi_head_attention(
+            q, ck_l.astype(dtype), cv_l.astype(dtype), kv_len,
+            causal=True, q_offset=pos_offset, backend=cfg.attn_backend))
         h = r + linear(a, lp["attn"]["o"])
         # --- cross attention over precomputed encoder K/V ---
         r = h
         y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"], cfg.ln_eps)
         q = split_heads(linear(y, lp["cross_attn"]["q"]), cfg.n_heads)
-        a = merge_heads(mha_reference(q, xk_l.astype(dtype), xv_l.astype(dtype)))
+        a = merge_heads(multi_head_attention(
+            q, xk_l.astype(dtype), xv_l.astype(dtype),
+            backend=cfg.attn_backend))
         h = r + linear(a, lp["cross_attn"]["o"])
         # --- MLP ---
         r = h

@@ -8,4 +8,8 @@ only hurt; the attention paths get dedicated Pallas kernels with XLA
 fallbacks, each parity-tested against the reference implementation here.
 """
 
-from whisper_tpu.ops.attention import mha_reference
+from whisper_tpu.ops.attention import (
+    default_backend,
+    mha_reference,
+    multi_head_attention,
+)

@@ -1,18 +1,36 @@
-"""Multi-head attention — XLA reference implementation.
+"""Multi-head attention: backend dispatch + XLA reference implementation.
 
-This is the semantic ground truth the Pallas kernels (flash_attention.py,
-decode_attention.py) are parity-tested against, and the fallback on backends
-where Pallas/Mosaic is unavailable (e.g. the CPU test mesh).
+Three backends, one semantic contract:
+  * "reference" — plain-XLA einsum formulation below; ground truth for the
+    Pallas kernels' parity tests and the fallback on non-TPU backends (the
+    8-device virtual CPU test mesh).
+  * "pallas" — flash_attention.py (prefill/encoder) and
+    decode_attention.py (q_len==1) Mosaic kernels.
+  * "pallas_interpret" — same kernels in interpreter mode (CPU-runnable
+    kernel debugging/testing, the repo's TPU-emulation answer per
+    SURVEY.md §4).
 
-Replaces the reference's two attention kernels: the prefill/encoder path
-(reference layers.mojo:273-342 — per-head score matmul, scale+mask, softmax,
-weighted-V) and the q_len==1 register-cached decode path (reference
-layers.mojo:186-272). Here both are one batched einsum formulation; XLA maps
-the contractions onto the MXU and fuses scale/mask/softmax.
+This replaces the reference's two attention kernels: the prefill/encoder
+path (reference layers.mojo:273-342) and the q_len==1 register-cached decode
+path (reference layers.mojo:186-272) — including its head-dispatch heuristic
+(serial head loop at q_len==1, parallel otherwise, layers.mojo:344-348),
+which here becomes kernel selection on T.
+
+Layout contract (everywhere in this framework):
+  q: (B, T, H, D) — token-major (straight out of the q projection);
+  k, v: (B, H, S, D) — head-major (the KV-cache layout: per-head rows are
+  contiguous, which is what both the flash kernel's k-tile DMA and the
+  decode kernel's manual HBM streaming want).
+
+Masking is expressed as (kv_len, causal, q_offset) — the same
+cache-relative-index semantics the reference encodes in its compare at
+layers.mojo:213,311-317 — never as a materialized (T, S) boolean array, so
+kernels can *skip* masked blocks instead of computing-then-discarding them.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -21,35 +39,73 @@ import jax.numpy as jnp
 _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
-def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
-                  mask: Optional[jax.Array] = None,
-                  precision=jax.lax.Precision.HIGHEST) -> jax.Array:
-    """Scaled dot-product attention over explicit head dims.
+def default_backend() -> str:
+    """'pallas' on real TPU, 'reference' elsewhere; override with
+    WHISPER_TPU_ATTN=reference|pallas|pallas_interpret."""
+    env = os.environ.get("WHISPER_TPU_ATTN")
+    if env:
+        return env
+    return "pallas" if jax.default_backend() == "tpu" else "reference"
+
+
+def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                         kv_len=None, *,
+                         causal: bool = False, q_offset=0,
+                         backend: Optional[str] = None) -> jax.Array:
+    """Scaled dot-product attention with backend dispatch.
 
     Args:
-      q: (B, T, H, D) queries.
-      k: (B, S, H, D) keys.
-      v: (B, S, H, D) values.
-      mask: optional boolean (..., T, S) broadcastable; True = attend.
-            (The reference expresses this as cache-relative index compares,
-            layers.mojo:213,311-317.)
+      q: (B, T, H, D).
+      k, v: (B, H, S, D) head-major.
+      kv_len: scalar int32 — valid keys (None = all S).
+      causal: mask key_pos > q_offset + query_index.
+      q_offset: absolute position of q[:, 0] (scalar).
+      backend: None = auto (default_backend()).
     Returns:
-      (B, T, H, D) attention output.
-
-    Scaling matches HF/reference: q * head_dim**-0.5 before the score matmul
-    (reference layers.mojo:184: scale = 1/sqrt(64)).
+      (B, T, H, D) in q.dtype.
     """
-    head_dim = q.shape[-1]
-    qf = q.astype(jnp.float32) * (head_dim ** -0.5)
-    scores = jnp.einsum("bthd,bshd->bhts", qf, k.astype(jnp.float32),
+    backend = backend or default_backend()
+    if backend == "reference":
+        return mha_reference(q, k, v, kv_len, causal=causal,
+                             q_offset=q_offset)
+    if backend not in ("pallas", "pallas_interpret"):
+        raise ValueError(f"unknown attention backend {backend!r}")
+    interpret = backend == "pallas_interpret"
+    T = q.shape[1]
+    if T == 1:
+        # q_len==1: the causal mask degenerates to the length mask
+        # (kv_len == q_offset + 1), so one kernel serves self- and cross-attn.
+        from whisper_tpu.ops.decode_attention import decode_attention
+        return decode_attention(q, k, v, kv_len, interpret=interpret)
+    from whisper_tpu.ops.flash_attention import flash_attention
+    return flash_attention(q, k, v, kv_len, q_offset, causal=causal,
+                           interpret=interpret)
+
+
+def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
+                  kv_len=None, *, causal: bool = False, q_offset=0,
+                  precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """XLA reference attention (semantic ground truth).
+
+    Same signature semantics as multi_head_attention. Scaling matches the
+    reference: q * head_dim**-0.5 before the score matmul
+    (reference layers.mojo:184: scale = 1/sqrt(64))."""
+    B, T, H, D = q.shape
+    S = k.shape[2]
+    qf = q.astype(jnp.float32) * (D ** -0.5)
+    scores = jnp.einsum("bthd,bhsd->bhts", qf, k.astype(jnp.float32),
                         precision=precision)
+    key_idx = jnp.arange(S)[None, :]                     # (1, S)
+    mask = None
+    if kv_len is not None:
+        mask = key_idx < kv_len                          # (1, S)
+    if causal:
+        q_idx = q_offset + jnp.arange(T)[:, None]        # (T, 1)
+        c = key_idx <= q_idx                             # (T, S)
+        mask = c if mask is None else jnp.logical_and(mask, c)
     if mask is not None:
-        if mask.ndim == 2:
-            mask = mask[None, None]
-        elif mask.ndim == 3:
-            mask = mask[:, None]
-        scores = jnp.where(mask, scores, _NEG_INF)
+        scores = jnp.where(mask[None, None], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32),
+    out = jnp.einsum("bhts,bhsd->bthd", probs, v.astype(jnp.float32),
                      precision=precision)
     return out.astype(q.dtype)

@@ -1,0 +1,154 @@
+"""Incremental-decode attention (Pallas/TPU): one query token against a
+padded KV cache, transferring only the valid prefix from HBM.
+
+TPU-native replacement for the reference's q_len==1 register-cached decode
+path (reference layers.mojo:186-272: per head, hoist the 64-dim query into
+SIMD registers, scalar-loop scores over cached keys, inline softmax,
+register-accumulated weighted-V). The reference's trick is keeping q in
+registers and streaming K/V from memory exactly once; the TPU analogue here
+keeps q, the online-softmax statistics, and the output accumulator in VMEM
+scratch while K/V tiles stream through the Pallas pipeline.
+
+The cache is padded to S_max (448 decoder positions) but typically only
+~kv_len ~ 100 slots are valid. Blocks past the valid length are *neither
+computed nor transferred*: the grid's KV dimension walks all S_max/block_k
+tiles, but the BlockSpec index map — which receives the scalar-prefetched
+kv_len — clamps out-of-range tile indices to the last valid tile, and
+Pallas elides the DMA when consecutive grid steps map to the same tile. Net
+HBM traffic is ceil(kv_len/block_k) tiles, the minimum possible. Compute for
+dead tiles is skipped with pl.when.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _decode_kernel(info_ref, q_ref, k_ref, v_ref, o_ref,
+                   m_s, l_s, acc_s, *, block_k: int, scale: float, prec):
+    """One (batch, head, kv-tile) step.
+
+    info_ref: SMEM (1,) int32 = [kv_len] (scalar-prefetched).
+    q_ref: VMEM (1, 1, 1, D) — this (b, h)'s query row (same tile for all j).
+    k_ref/v_ref: VMEM (1, 1, block_k, D) — the j-th (clamped) cache tile.
+    o_ref: VMEM (1, 1, 1, D).
+    m_s/l_s: VMEM (1, 1) fp32; acc_s: VMEM (1, D) fp32 — persist across j.
+    """
+    j = pl.program_id(2)
+    kv_len = info_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, _MASK_VALUE)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(j * block_k < kv_len)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale      # (1, D)
+        kb = k_ref[0, 0]                                 # (block_k, D)
+        s = jax.lax.dot_general(
+            q, kb.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # (1, block_k)
+        k_pos = (j * block_k
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1))
+        s = jnp.where(k_pos < kv_len, s, _MASK_VALUE)
+
+        m_prev, l_prev = m_s[...], l_s[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        m_s[...] = m_new
+        l_s[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        vb = v_ref[0, 0]
+        pv = jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # (1, D)
+        acc_s[...] = acc_s[...] * alpha + pv
+
+    # Constant output tile index across j => the store is flushed once per
+    # (b, h); writing every step avoids a branch.
+    o_ref[0, 0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     kv_len=None, *, block_k: int = 128,
+                     interpret: bool = False) -> jax.Array:
+    """Single-token attention over a (possibly padded) KV cache.
+
+    Args:
+      q: (B, 1, H, D) — the new token's query.
+      k, v: (B, H, S_max, D) — cache in head-major layout.
+      kv_len: scalar int32 — valid cache length (default S_max). Only
+        ceil(kv_len/block_k) tiles are transferred or computed.
+    Returns:
+      (B, 1, H, D) in q.dtype.
+    """
+    B, T, H, D = q.shape
+    assert T == 1, f"decode_attention is the q_len==1 path, got T={T}"
+    S = k.shape[2]
+    if kv_len is None:
+        kv_len = S
+    scale = D ** -0.5
+
+    s_pad = _round_up(S, block_k)
+    if s_pad != S:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
+    num_kv_tiles = s_pad // block_k
+
+    # (B, H, 1, D): trailing (1, D) block dims equal the array dims,
+    # satisfying Mosaic's last-two-dims tiling rule for any H and D=64.
+    q4 = jnp.transpose(q, (0, 2, 1, 3))
+    info = jnp.asarray(kv_len, jnp.int32).reshape(1)
+
+    def kv_index(b, h, j, info_ref):
+        # Clamp dead tiles to the last valid tile: Pallas skips the DMA when
+        # the mapped index doesn't change between steps.
+        last = jnp.maximum(pl.cdiv(info_ref[0], block_k) - 1, 0)
+        return (b, h, jnp.minimum(j, last), 0)
+
+    prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, block_k=block_k, scale=scale,
+                          prec=prec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, num_kv_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, D), lambda b, h, j, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, D), kv_index),
+                pl.BlockSpec((1, 1, block_k, D), kv_index),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, D),
+                                   lambda b, h, j, *_: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, 1), jnp.float32),
+                pltpu.VMEM((1, 1), jnp.float32),
+                pltpu.VMEM((1, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * D,
+            bytes_accessed=2 * B * H * S * D * k.dtype.itemsize,
+            transcendentals=B * H * S,
+        ),
+        interpret=interpret,
+    )(info, q4, k, v)
+
+    return jnp.transpose(out, (0, 2, 1, 3))              # (B, 1, H, D)
