@@ -36,10 +36,20 @@ def main(argv=None) -> int:
                    help="use the reference's lossy Ġ/\\n detokenizer")
     p.add_argument("--max-new", type=int, default=None,
                    help="cap on generated tokens (default: reference's 195)")
+    p.add_argument("--beam", type=int, default=1, help="beam size (1=greedy)")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help=">0 enables sampling")
+    p.add_argument("--timestamps", action="store_true",
+                   help="decode with timestamp tokens + timestamp rules")
+    p.add_argument("--suppress-nonspeech", action="store_true",
+                   help="suppress the standard non-speech token set")
+    p.add_argument("--condition-on-previous", action="store_true",
+                   help="long-form: condition each window on previous text")
+    p.add_argument("--seed", type=int, default=0, help="sampling seed")
     args = p.parse_args(argv)
 
     from whisper_tpu.config import get_config
-    from whisper_tpu.pipeline import WhisperPipeline, load_wav
+    from whisper_tpu.pipeline import WhisperPipeline
     from whisper_tpu.tokenizer import Tokenizer, build_prompt
 
     cfg = get_config(args.model)
@@ -74,8 +84,18 @@ def main(argv=None) -> int:
 
     if not args.audio:
         p.error("need --audio or --mel")
-    wav = load_wav(args.audio, cfg.sample_rate)
-    r = pipe.transcribe(wav, args.language, args.task, max_new=args.max_new)
+    from whisper_tpu.native import load_audio
+    opts = None
+    if (args.beam > 1 or args.temperature > 0 or args.timestamps
+            or args.suppress_nonspeech):
+        opts = pipe.make_options(
+            timestamps=args.timestamps,
+            suppress_nonspeech=args.suppress_nonspeech,
+            temperature=args.temperature, beam_size=args.beam)
+    wav = load_audio(args.audio, cfg.sample_rate)
+    r = pipe.transcribe(wav, args.language, args.task, max_new=args.max_new,
+                        opts=opts,
+                        condition_on_previous=args.condition_on_previous)
     print(f"timings: {r.timings}")
     print("tokens:", r.tokens)
     print("text:", r.text)

@@ -1,16 +1,21 @@
-"""Greedy decoding: jitted, batched, fully on-device.
+"""Decoding strategies: greedy, temperature sampling, beam search — all
+jitted, batched, fully on-device.
 
 Replaces the reference's host-side transcribe loop (whisper.mojo:170-223):
 seed prompt -> prefill -> argmax -> per-token loop capped at 195 steps,
 stopping on EOT and *including* the EOT token in the output
-(whisper.mojo:205-221).
+(whisper.mojo:205-221). The reference supports exactly greedy; sampling and
+beam search are capability extensions following openai/whisper's
+DecodingTask semantics (see decode_rules.py for the logit rules).
 
-TPU-first design: the whole loop is one `lax.while_loop` inside one jit —
+TPU-first design: each strategy is one `lax.while_loop` inside one jit —
 tokens, KV cache, and logits never leave the device, so there is no
 host<->device sync per token (the single biggest latency lever at batch 1).
 Batched: each sequence carries a `finished` flag; finished rows keep emitting
 EOT (padding) while the loop runs until all rows finish or the cap hits —
-this reproduces the reference's break-at-EOT semantics per row.
+this reproduces the reference's break-at-EOT semantics per row. Beam search
+keeps the beam dim folded into batch for the decoder, reordering the KV
+cache with a gather on every beam hop.
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from whisper_tpu.config import WhisperConfig
+from whisper_tpu.decode_rules import NEG, DecodeOptions, apply_rules
 from whisper_tpu.models.whisper import (
     decoder_forward,
     encoder_forward,
@@ -33,83 +39,205 @@ from whisper_tpu.models.whisper import (
 class DecodeResult(NamedTuple):
     tokens: jax.Array    # (B, prompt_len + 1 + max_new) int32, EOT-padded
     lengths: jax.Array   # (B,) int32 — total valid tokens incl. prompt + EOT
+    sum_logprobs: Optional[jax.Array] = None   # (B,) — beam/sample scores
 
 
-def _argmax_last(logits: jax.Array) -> jax.Array:
-    """(B, T, V) -> (B,) argmax over the final position, int32 (reference
-    whisper_tensor.mojo:431-439 — there a scalar 51,865-long scan)."""
-    return jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+def _lengths(tokens: jax.Array, P: int, eot) -> jax.Array:
+    """Valid length = up to and including the first EOT in the generated
+    region (or the full buffer if none)."""
+    gen = tokens[..., P:]
+    is_eot = gen == eot
+    any_eot = jnp.any(is_eot, axis=-1)
+    first_eot = jnp.argmax(is_eot, axis=-1)
+    gen_len = jnp.where(any_eot, first_eot + 1, gen.shape[-1])
+    return (P + gen_len).astype(jnp.int32)
 
 
 def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
                   prompt: jax.Array,
                   max_new: Optional[int] = None,
-                  logit_bias: Optional[jax.Array] = None) -> DecodeResult:
-    """Greedy decode against a computed encoder output.
+                  logit_bias: Optional[jax.Array] = None,
+                  opts: Optional[DecodeOptions] = None,
+                  rng: Optional[jax.Array] = None) -> DecodeResult:
+    """Greedy (or, with opts.temperature > 0 and an rng key, sampled) decode
+    against a computed encoder output.
 
     Args:
       enc_out: (B, n_audio_ctx, d_model).
       prompt: (B, P) int32 SOT sequence (P static).
       max_new: cap on loop tokens after the prefill argmax (reference: 195).
       logit_bias: optional (vocab,) additive bias applied before argmax
-        (hook for suppress-token / timestamp rules; reference has none).
+        (raw hook; prefer `opts` for the standard rule stack).
+      opts: static DecodeOptions — suppression/timestamp rules, temperature.
+      rng: PRNG key, required iff opts.temperature > 0.
     """
     if max_new is None:
         max_new = cfg.max_new_tokens
     B, P = prompt.shape
     total = P + 1 + max_new
     eot = jnp.int32(cfg.eot_token)
+    temperature = float(opts.temperature) if opts is not None else 0.0
+    if temperature > 0 and rng is None:
+        raise ValueError("temperature sampling needs an rng key")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
 
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
     cache = init_kv_cache(cfg, B, dtype=jnp.dtype(cfg.compute_dtype))
 
-    def pick(logits):
+    def pick(logits, tokens, pos, key):
+        """logits (B, T, V) -> next token (B,) given history + position."""
+        l = logits[:, -1, :]
         if logit_bias is not None:
-            logits = logits + logit_bias[None, None, :]
-        return _argmax_last(logits)
+            l = l + logit_bias[None, :]
+        if opts is not None:
+            l = apply_rules(l, tokens, pos, P, cfg, opts)
+        if temperature > 0:
+            return jax.random.categorical(key, l / temperature, axis=-1
+                                          ).astype(jnp.int32)
+        return jnp.argmax(l, axis=-1).astype(jnp.int32)
 
     # ---- prefill: all P prompt tokens in one pass (whisper.mojo:195-197) ----
-    logits, cache = decoder_forward(params, cfg, prompt, jnp.int32(0),
-                                    cache, cross_kv)
-    first = pick(logits)
-
     tokens = jnp.full((B, total), eot, dtype=jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
+    logits, cache = decoder_forward(params, cfg, prompt, jnp.int32(0),
+                                    cache, cross_kv)
+    rng, key = jax.random.split(rng)
+    first = pick(logits, tokens, jnp.int32(P), key)
     tokens = tokens.at[:, P].set(first)
     finished0 = first == eot
 
     # ---- incremental loop (whisper.mojo:205-221) ----
     def cond(state):
-        i, _, _, finished = state
+        i, _, _, finished, _ = state
         return jnp.logical_and(i < max_new, jnp.logical_not(jnp.all(finished)))
 
     def body(state):
-        i, tokens, cache, finished = state
+        i, tokens, cache, finished, rng = state
         last = jax.lax.dynamic_slice(tokens, (0, P + i), (B, 1))
         logits, cache = decoder_forward(params, cfg, last, P + i,
                                         cache, cross_kv)
-        nxt = jnp.where(finished, eot, pick(logits))
-        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, P + i + 1))
+        rng, key = jax.random.split(rng)
+        nxt = jnp.where(finished, eot,
+                        pick(logits, tokens, P + i + 1, key))
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None],
+                                              (0, P + i + 1))
         finished = jnp.logical_or(finished, nxt == eot)
-        return i + 1, tokens, cache, finished
+        return i + 1, tokens, cache, finished, rng
 
-    _, tokens, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens, cache, finished0))
+    _, tokens, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens, cache, finished0, rng))
 
-    # valid length = up to and including the first EOT in the generated region
-    gen = tokens[:, P:]
-    is_eot = gen == eot
-    any_eot = jnp.any(is_eot, axis=1)
-    first_eot = jnp.argmax(is_eot, axis=1)
-    gen_len = jnp.where(any_eot, first_eot + 1, gen.shape[1])
-    return DecodeResult(tokens=tokens, lengths=P + gen_len.astype(jnp.int32))
+    return DecodeResult(tokens=tokens, lengths=_lengths(tokens, P, eot))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new"))
+def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
+                prompt: jax.Array, beam_size: int = 5,
+                max_new: Optional[int] = None,
+                opts: Optional[DecodeOptions] = None) -> DecodeResult:
+    """Beam-search decode (capability extension; the reference is
+    greedy-only). Beams ride the batch dimension through the decoder; on
+    every beam hop the KV cache rows are gathered to follow their source
+    beams. Finished beams stay in the beam holding EOT at frozen score
+    (standard jit-friendly formulation). Final ranking: score / length
+    when opts.length_penalty is None, else Google-NMT
+    ((5 + len) / 6) ** penalty (matching openai/whisper's ranker).
+
+    Returns the best beam per batch row.
+    """
+    if max_new is None:
+        max_new = cfg.max_new_tokens
+    B, P = prompt.shape
+    W = beam_size
+    BW = B * W
+    total = P + 1 + max_new
+    eot = jnp.int32(cfg.eot_token)
+    V = cfg.vocab_size
+
+    def rules(l, tokens_flat, pos):
+        if opts is not None:
+            return apply_rules(l, tokens_flat, pos, P, cfg, opts)
+        return l
+
+    # replicate encoder state across beams: (L, B, ...) -> (L, B*W, ...)
+    cross_kv = jax.tree.map(
+        lambda x: jnp.repeat(x, W, axis=1), precompute_cross_kv(params, cfg, enc_out))
+    cache = init_kv_cache(cfg, BW, dtype=jnp.dtype(cfg.compute_dtype))
+
+    prompt_bw = jnp.repeat(prompt, W, axis=0)            # (BW, P)
+    logits, cache = decoder_forward(params, cfg, prompt_bw, jnp.int32(0),
+                                    cache, cross_kv)
+
+    tokens = jnp.full((B, W, total), eot, dtype=jnp.int32)
+    tokens = tokens.at[:, :, :P].set(prompt[:, None, :])
+
+    l0 = rules(logits[:, -1, :], tokens.reshape(BW, total), jnp.int32(P))
+    logp0 = jax.nn.log_softmax(l0.astype(jnp.float32), axis=-1)
+    # beams are identical after prefill: expand beam 0's top-W
+    sum_lp, tok0 = jax.lax.top_k(logp0.reshape(B, W, V)[:, 0], W)   # (B, W)
+    tokens = tokens.at[:, :, P].set(tok0)
+    finished0 = tok0 == eot
+
+    eot_only = jnp.full((V,), NEG, jnp.float32).at[cfg.eot_token].set(0.0)
+
+    def cond(state):
+        i, _, _, _, finished = state
+        return jnp.logical_and(i < max_new, jnp.logical_not(jnp.all(finished)))
+
+    def body(state):
+        i, tokens, cache, sum_lp, finished = state
+        last = jax.lax.dynamic_slice(
+            tokens, (0, 0, P + i), (B, W, 1)).reshape(BW, 1)
+        logits, cache = decoder_forward(params, cfg, last, P + i,
+                                        cache, cross_kv)
+        l = rules(logits[:, -1, :], tokens.reshape(BW, total), P + i + 1)
+        lp = jax.nn.log_softmax(l.astype(jnp.float32), axis=-1).reshape(B, W, V)
+        # finished beams may only extend with EOT at zero cost
+        lp = jnp.where(finished[:, :, None], eot_only[None, None, :], lp)
+        cand = sum_lp[:, :, None] + lp                   # (B, W, V)
+        new_lp, flat_idx = jax.lax.top_k(cand.reshape(B, W * V), W)
+        src = flat_idx // V                              # (B, W) source beam
+        new_tok = (flat_idx % V).astype(jnp.int32)
+
+        tokens = jnp.take_along_axis(tokens, src[:, :, None], axis=1)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, new_tok[:, :, None], (0, 0, P + i + 1))
+        flat_src = (jnp.arange(B)[:, None] * W + src).reshape(BW)
+        cache = jax.tree.map(lambda c: c[:, flat_src], cache)
+        finished = jnp.take_along_axis(finished, src, axis=1)
+        finished = jnp.logical_or(finished, new_tok == eot)
+        return i + 1, tokens, cache, new_lp, finished
+
+    _, tokens, _, sum_lp, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens, cache, sum_lp, finished0))
+
+    # rank beams by length-normalized score
+    lens = _lengths(tokens, P, eot)                      # (B, W)
+    gen_len = (lens - P).astype(jnp.float32)
+    if opts is not None and opts.length_penalty is not None:
+        norm = ((5.0 + gen_len) / 6.0) ** opts.length_penalty
+    else:
+        norm = gen_len
+    best = jnp.argmax(sum_lp / jnp.maximum(norm, 1.0), axis=1)   # (B,)
+    pick = lambda x: jnp.take_along_axis(
+        x, best.reshape(B, *([1] * (x.ndim - 1))), axis=1).squeeze(1)
+    return DecodeResult(tokens=pick(tokens), lengths=pick(lens),
+                        sum_logprobs=pick(sum_lp))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "max_new", "opts", "beam_size"))
 def transcribe_tokens(params, cfg: WhisperConfig, mel: jax.Array,
                       prompt: jax.Array,
-                      max_new: Optional[int] = None) -> DecodeResult:
+                      max_new: Optional[int] = None,
+                      opts: Optional[DecodeOptions] = None,
+                      beam_size: int = 1,
+                      rng: Optional[jax.Array] = None) -> DecodeResult:
     """End-to-end jitted: (B, n_mels, n_frames) mel + (B, P) prompt ->
-    tokens. One compilation per (model, batch, prompt-length)."""
+    tokens. One compilation per (model, batch, prompt-length, strategy)."""
     enc_out = encoder_forward(params, cfg, mel)
-    return greedy_decode(params, cfg, enc_out, prompt, max_new=max_new)
+    if beam_size > 1:
+        return beam_decode(params, cfg, enc_out, prompt, beam_size,
+                           max_new=max_new, opts=opts)
+    return greedy_decode(params, cfg, enc_out, prompt, max_new=max_new,
+                         opts=opts, rng=rng)

@@ -23,6 +23,7 @@ import numpy as np
 from whisper_tpu.audio import log_mel_spectrogram, pad_or_trim
 from whisper_tpu.config import WhisperConfig, get_config
 from whisper_tpu.decode import transcribe_tokens
+from whisper_tpu.decode_rules import DecodeOptions, non_speech_tokens
 from whisper_tpu.tokenizer import Tokenizer, build_prompt
 from whisper_tpu import weights as weights_lib
 
@@ -48,8 +49,7 @@ class WhisperPipeline:
         """Load a reference-format headerless fp32 weight blob
         (SURVEY.md §2.5 contract)."""
         cfg = get_config(model)
-        with open(path, "rb") as f:
-            params = weights_lib.from_flat_bin(f.read(), cfg)
+        params = weights_lib.from_flat_bin_path(path, cfg)
         return cls(cfg, weights_lib.to_device(params),
                    Tokenizer(vocab_path, config=cfg))
 
@@ -66,10 +66,28 @@ class WhisperPipeline:
         cfg = get_config(model)
         return cls(cfg, init_params(cfg, jax.random.PRNGKey(seed)))
 
+    # ---- decode options ----
+    def make_options(self, timestamps: bool = False,
+                     suppress_nonspeech: bool = False,
+                     temperature: float = 0.0,
+                     beam_size: int = 1,
+                     length_penalty: Optional[float] = None) -> DecodeOptions:
+        """Build the standard rule stack (openai/whisper-style; the
+        reference has no rules at all — raw argmax, whisper.mojo:205-221)."""
+        suppress = (non_speech_tokens(self.cfg, self.tokenizer)
+                    if suppress_nonspeech else ())
+        return DecodeOptions(
+            suppress_tokens=suppress, suppress_blank=suppress_nonspeech,
+            timestamps=timestamps, temperature=temperature,
+            beam_size=beam_size, length_penalty=length_penalty)
+
     # ---- inference ----
     def transcribe_window(self, audio: np.ndarray, language: str = "en",
                           task: str = "transcribe",
-                          max_new: Optional[int] = None) -> Transcription:
+                          max_new: Optional[int] = None,
+                          opts: Optional[DecodeOptions] = None,
+                          prev_tokens: tuple = (),
+                          seed: int = 0) -> Transcription:
         """Transcribe one <=30 s window (the reference's whole capability)."""
         cfg = self.cfg
         t0 = time.perf_counter()
@@ -77,8 +95,16 @@ class WhisperPipeline:
         mel = log_mel_spectrogram(wav, cfg)
         mel.block_until_ready()
         t1 = time.perf_counter()
-        prompt = jnp.asarray([build_prompt(cfg, language, task)], jnp.int32)
-        res = transcribe_tokens(self.params, cfg, mel, prompt, max_new=max_new)
+        prompt = jnp.asarray(
+            [build_prompt(cfg, language, task,
+                          timestamps=bool(opts and opts.timestamps),
+                          prev_tokens=prev_tokens)], jnp.int32)
+        beam = opts.beam_size if opts is not None else 1
+        rng = (jax.random.PRNGKey(seed)
+               if opts is not None and opts.temperature > 0 else None)
+        res = transcribe_tokens(self.params, cfg, mel, prompt,
+                                max_new=max_new, opts=opts, beam_size=beam,
+                                rng=rng)
         res.tokens.block_until_ready()
         t2 = time.perf_counter()
         n = int(res.lengths[0])
@@ -92,18 +118,29 @@ class WhisperPipeline:
 
     def transcribe(self, audio: np.ndarray, language: str = "en",
                    task: str = "transcribe",
-                   max_new: Optional[int] = None) -> Transcription:
-        """Long-form: sliding non-overlapping 30 s windows."""
+                   max_new: Optional[int] = None,
+                   opts: Optional[DecodeOptions] = None,
+                   condition_on_previous: bool = False) -> Transcription:
+        """Long-form: sliding non-overlapping 30 s windows, optionally
+        conditioning each window on the previous window's text via the
+        <|startofprev|> prompt mechanism (capability extension; the
+        reference hard-caps input at one window, export_weights.py:112-114)."""
         cfg = self.cfg
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
         n_win = max(1, -(-len(audio) // cfg.n_samples))
         texts, all_ids = [], []
+        prev: tuple = ()
         timings = {"mel_s": 0.0, "decode_s": 0.0, "detok_s": 0.0, "total_s": 0.0}
         for w in range(n_win):
             chunk = audio[w * cfg.n_samples:(w + 1) * cfg.n_samples]
-            r = self.transcribe_window(chunk, language, task, max_new=max_new)
+            r = self.transcribe_window(chunk, language, task, max_new=max_new,
+                                       opts=opts, prev_tokens=prev)
             texts.append(r.text)
             all_ids.extend(r.tokens)
+            if condition_on_previous:
+                # text tokens only (strip specials), capped at half the ctx
+                gen = [t for t in r.tokens if t < cfg.eot_token]
+                prev = tuple(gen[-(cfg.n_text_ctx // 2 - 8):])
             for k in timings:
                 timings[k] += r.timings[k]
         return Transcription(text="".join(texts), tokens=all_ids,

@@ -118,6 +118,41 @@ class Tokenizer:
         return self.tokens[int(tid)]
 
 
+def split_segments(cfg: WhisperConfig, ids: Sequence[int],
+                   tokenizer: "Tokenizer",
+                   window_offset_s: float = 0.0) -> list[dict]:
+    """Parse a timestamped token stream into segments.
+
+    Timestamp tokens encode times in 0.02 s steps from <|0.00|>
+    (= cfg.timestamp_begin). Returns [{"start", "end", "text", "tokens"}].
+    Capability extension: the reference has no timestamp support at all
+    (its prompt hardcodes <|notimestamps|>, whisper.mojo:188-191).
+    """
+    ts0 = cfg.timestamp_begin
+    segments: list[dict] = []
+    start: Optional[float] = None
+    cur: list[int] = []
+    for tid in ids:
+        tid = int(tid)
+        if tid >= ts0:
+            t = window_offset_s + (tid - ts0) * 0.02
+            if start is None:
+                start = t
+            elif cur:
+                segments.append({"start": start, "end": t,
+                                 "text": tokenizer.decode(cur),
+                                 "tokens": list(cur)})
+                start, cur = None, []
+            else:
+                start = t          # consecutive timestamps: new segment start
+        elif tid < cfg.eot_token:
+            cur.append(tid)
+    if cur:
+        segments.append({"start": start or window_offset_s, "end": None,
+                         "text": tokenizer.decode(cur), "tokens": list(cur)})
+    return segments
+
+
 def language_token(cfg: WhisperConfig, language: str) -> int:
     lang = language.lower()
     try:
