@@ -119,8 +119,11 @@ class FlatBinReader:
     stream (loader.mojo:5-31 semantics: no names, no shape check — order IS
     the contract)."""
 
-    def __init__(self, data: bytes):
-        self.buf = np.frombuffer(data, dtype="<f4")
+    def __init__(self, data):
+        if isinstance(data, np.ndarray):
+            self.buf = data.view("<f4") if data.dtype != np.dtype("<f4") else data
+        else:
+            self.buf = np.frombuffer(data, dtype="<f4")
         self.pos = 0
 
     def take(self, *shape: int) -> np.ndarray:
@@ -137,9 +140,19 @@ class FlatBinReader:
         return self.pos == self.buf.size
 
 
-def from_flat_bin(data: bytes, cfg: WhisperConfig) -> Params:
+def from_flat_bin_path(path: str, cfg: WhisperConfig) -> Params:
+    """Zero-copy flat-bin load: mmap the file (native wn_mmap_open or
+    np.memmap) and parse without reading 151 MB through Python first
+    (the reference's loader reads + bitcasts the whole file, loader.mojo:10)."""
+    from whisper_tpu.native import MappedWeights
+    with MappedWeights(path) as m:
+        return from_flat_bin(m.floats, cfg)
+
+
+def from_flat_bin(data, cfg: WhisperConfig) -> Params:
     """Parse the reference's `whisper_tiny_weights.bin` layout
-    (export_weights.py write order, SURVEY.md §2.5) into a params pytree."""
+    (export_weights.py write order, SURVEY.md §2.5) into a params pytree.
+    `data`: bytes or fp32 ndarray (e.g. an mmap view)."""
     r = FlatBinReader(data)
     d, ff, nm = cfg.d_model, cfg.d_ff, cfg.n_mels
 
