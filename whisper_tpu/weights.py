@@ -251,6 +251,58 @@ def to_flat_bin(params: Params, cfg: WhisperConfig) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# safetensors (the HF distribution format — load checkpoints without torch)
+# ---------------------------------------------------------------------------
+
+def from_safetensors(path: str, cfg: WhisperConfig) -> Params:
+    """Load an HF `model.safetensors` for WhisperForConditionalGeneration
+    directly (no torch import). Handles both the `model.`-prefixed and bare
+    key layouts."""
+    from safetensors.numpy import load_file
+    state = dict(load_file(path))
+    if not any(k.startswith("model.") for k in state):
+        state = {f"model.{k}": v for k, v in state.items()}
+    return from_hf_state_dict(state, cfg)
+
+
+# ---------------------------------------------------------------------------
+# orbax (sharded, multi-host-capable checkpoint/resume)
+# ---------------------------------------------------------------------------
+
+def save_orbax(path: str, params: Params) -> None:
+    """Checkpoint a (possibly sharded) params pytree with orbax. Unlike the
+    npz path this writes per-shard without gathering to one host — the
+    multi-chip checkpoint format."""
+    import os
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params)
+
+
+def load_orbax(path: str, cfg: WhisperConfig, mesh=None) -> Params:
+    """Restore an orbax checkpoint. With a mesh, arrays are restored
+    directly into their tp/dp shardings (no host round-trip)."""
+    import os
+    import jax
+    import orbax.checkpoint as ocp
+
+    template = _param_shapes_template(cfg)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from whisper_tpu.parallel.mesh import param_pspecs
+        specs = param_pspecs(template)
+        template = jax.tree.map(
+            lambda t, s: jax.ShapeDtypeStruct(
+                t.shape, t.dtype, sharding=NamedSharding(mesh, s)),
+            template, specs)
+    else:
+        template = jax.tree.map(
+            lambda t: jax.ShapeDtypeStruct(t.shape, t.dtype), template)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), template)
+
+
+# ---------------------------------------------------------------------------
 # named storage (npz)
 # ---------------------------------------------------------------------------
 
