@@ -39,7 +39,13 @@ from whisper_tpu.models.whisper import (
 class DecodeResult(NamedTuple):
     tokens: jax.Array    # (B, prompt_len + 1 + max_new) int32, EOT-padded
     lengths: jax.Array   # (B,) int32 — total valid tokens incl. prompt + EOT
-    sum_logprobs: Optional[jax.Array] = None   # (B,) — beam/sample scores
+    sum_logprobs: Optional[jax.Array] = None   # (B,) — chosen-token logprobs
+
+    def avg_logprob(self, prompt_len: int) -> jax.Array:
+        """Mean chosen-token logprob over generated tokens (incl. EOT) —
+        the quality signal the temperature-fallback protocol thresholds."""
+        n = jnp.maximum(self.lengths - prompt_len, 1).astype(jnp.float32)
+        return self.sum_logprobs / n
 
 
 def _lengths(tokens: jax.Array, P: int, eot) -> jax.Array:
@@ -86,16 +92,20 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
     cache = init_kv_cache(cfg, B, dtype=jnp.dtype(cfg.compute_dtype))
 
     def pick(logits, tokens, pos, key):
-        """logits (B, T, V) -> next token (B,) given history + position."""
+        """logits (B, T, V) -> (next token (B,), its logprob (B,))."""
         l = logits[:, -1, :]
         if logit_bias is not None:
             l = l + logit_bias[None, :]
         if opts is not None:
             l = apply_rules(l, tokens, pos, P, cfg, opts)
         if temperature > 0:
-            return jax.random.categorical(key, l / temperature, axis=-1
-                                          ).astype(jnp.int32)
-        return jnp.argmax(l, axis=-1).astype(jnp.int32)
+            nxt = jax.random.categorical(key, l / temperature, axis=-1
+                                         ).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(l, axis=-1).astype(jnp.int32)
+        logp = jax.nn.log_softmax(l.astype(jnp.float32), axis=-1)
+        chosen = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        return nxt, chosen
 
     # ---- prefill: all P prompt tokens in one pass (whisper.mojo:195-197) ----
     tokens = jnp.full((B, total), eot, dtype=jnp.int32)
@@ -103,32 +113,34 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
     logits, cache = decoder_forward(params, cfg, prompt, jnp.int32(0),
                                     cache, cross_kv)
     rng, key = jax.random.split(rng)
-    first = pick(logits, tokens, jnp.int32(P), key)
+    first, lp0 = pick(logits, tokens, jnp.int32(P), key)
     tokens = tokens.at[:, P].set(first)
     finished0 = first == eot
 
     # ---- incremental loop (whisper.mojo:205-221) ----
     def cond(state):
-        i, _, _, finished, _ = state
+        i, _, _, finished, _, _ = state
         return jnp.logical_and(i < max_new, jnp.logical_not(jnp.all(finished)))
 
     def body(state):
-        i, tokens, cache, finished, rng = state
+        i, tokens, cache, finished, sum_lp, rng = state
         last = jax.lax.dynamic_slice(tokens, (0, P + i), (B, 1))
         logits, cache = decoder_forward(params, cfg, last, P + i,
                                         cache, cross_kv)
         rng, key = jax.random.split(rng)
-        nxt = jnp.where(finished, eot,
-                        pick(logits, tokens, P + i + 1, key))
+        picked, lp = pick(logits, tokens, P + i + 1, key)
+        nxt = jnp.where(finished, eot, picked)
+        sum_lp = sum_lp + jnp.where(finished, 0.0, lp)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None],
                                               (0, P + i + 1))
         finished = jnp.logical_or(finished, nxt == eot)
-        return i + 1, tokens, cache, finished, rng
+        return i + 1, tokens, cache, finished, sum_lp, rng
 
-    _, tokens, _, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens, cache, finished0, rng))
+    _, tokens, _, _, sum_lp, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tokens, cache, finished0, lp0, rng))
 
-    return DecodeResult(tokens=tokens, lengths=_lengths(tokens, P, eot))
+    return DecodeResult(tokens=tokens, lengths=_lengths(tokens, P, eot),
+                        sum_logprobs=sum_lp)
 
 
 def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
@@ -223,6 +235,52 @@ def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
         x, best.reshape(B, *([1] * (x.ndim - 1))), axis=1).squeeze(1)
     return DecodeResult(tokens=pick(tokens), lengths=pick(lens),
                         sum_logprobs=pick(sum_lp))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def encode(params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
+    """Jitted encoder entry point, for callers that reuse the encoder output
+    across several decodes (temperature fallback, language detection)."""
+    return encoder_forward(params, cfg, mel)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "max_new", "opts", "beam_size"))
+def decode_from_encoder(params, cfg: WhisperConfig, enc_out: jax.Array,
+                        prompt: jax.Array,
+                        max_new: Optional[int] = None,
+                        opts: Optional[DecodeOptions] = None,
+                        beam_size: int = 1,
+                        rng: Optional[jax.Array] = None) -> DecodeResult:
+    """Jitted decode against a precomputed encoder output."""
+    if beam_size > 1:
+        return beam_decode(params, cfg, enc_out, prompt, beam_size,
+                           max_new=max_new, opts=opts)
+    return greedy_decode(params, cfg, enc_out, prompt, max_new=max_new,
+                         opts=opts, rng=rng)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_language(params, cfg: WhisperConfig,
+                    enc_out: jax.Array) -> jax.Array:
+    """Language identification (openai/whisper detect_language semantics):
+    one decoder step on a bare <|startoftranscript|> prompt, softmax over
+    the language-token slice of the logits.
+
+    Capability extension — the reference hardcodes <|en|>
+    (whisper.mojo:188-191).
+
+    Returns (B, n_languages) probabilities, index i = tokenizer.LANGUAGES[i].
+    """
+    B = enc_out.shape[0]
+    cross_kv = precompute_cross_kv(params, cfg, enc_out)
+    cache = init_kv_cache(cfg, B, dtype=jnp.dtype(cfg.compute_dtype))
+    sot = jnp.full((B, 1), cfg.sot_token, jnp.int32)
+    logits, _ = decoder_forward(params, cfg, sot, jnp.int32(0),
+                                cache, cross_kv)
+    lang = jax.lax.dynamic_slice_in_dim(
+        logits[:, -1, :], cfg.first_language_token, cfg.n_languages, axis=-1)
+    return jax.nn.softmax(lang.astype(jnp.float32), axis=-1)
 
 
 @functools.partial(jax.jit,

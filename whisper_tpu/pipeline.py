@@ -22,10 +22,33 @@ import numpy as np
 
 from whisper_tpu.audio import log_mel_spectrogram, pad_or_trim
 from whisper_tpu.config import WhisperConfig, get_config
-from whisper_tpu.decode import transcribe_tokens
+from whisper_tpu.decode import (
+    decode_from_encoder,
+    detect_language,
+    encode,
+    transcribe_tokens,
+)
 from whisper_tpu.decode_rules import DecodeOptions, non_speech_tokens
-from whisper_tpu.tokenizer import Tokenizer, build_prompt
+from whisper_tpu.tokenizer import LANGUAGES, Tokenizer, build_prompt
 from whisper_tpu import weights as weights_lib
+
+
+# openai/whisper fallback thresholds: a decode is rejected (and retried at
+# the next higher temperature) when the text is degenerate-repetitive
+# (gzip compression ratio > 2.4) or the model is unconfident
+# (mean chosen-token logprob < -1.0).
+COMPRESSION_RATIO_THRESHOLD = 2.4
+LOGPROB_THRESHOLD = -1.0
+FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+
+
+def compression_ratio(text: str) -> float:
+    """Degenerate-repetition detector (openai/whisper semantics)."""
+    import zlib
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
 
 
 @dataclasses.dataclass
@@ -82,33 +105,66 @@ class WhisperPipeline:
             beam_size=beam_size, length_penalty=length_penalty)
 
     # ---- inference ----
+    def detect_language(self, enc_out) -> str:
+        """Most probable language code for an encoder output (capability
+        extension; the reference hardcodes <|en|>, whisper.mojo:188-191)."""
+        probs = np.asarray(detect_language(self.params, self.cfg, enc_out))
+        return LANGUAGES[int(probs[0].argmax())]
+
     def transcribe_window(self, audio: np.ndarray, language: str = "en",
                           task: str = "transcribe",
                           max_new: Optional[int] = None,
                           opts: Optional[DecodeOptions] = None,
                           prev_tokens: tuple = (),
-                          seed: int = 0) -> Transcription:
-        """Transcribe one <=30 s window (the reference's whole capability)."""
+                          seed: int = 0,
+                          fallback_temperatures: Sequence[float] = (),
+                          ) -> Transcription:
+        """Transcribe one <=30 s window (the reference's whole capability,
+        whisper.mojo:184-223), plus auto language detection
+        (language="auto") and the openai/whisper temperature-fallback
+        protocol: retry at increasing temperature until the transcript
+        passes the compression-ratio and avg-logprob thresholds."""
         cfg = self.cfg
         t0 = time.perf_counter()
         wav = jnp.asarray(pad_or_trim(audio, cfg.n_samples))[None]
         mel = log_mel_spectrogram(wav, cfg)
-        mel.block_until_ready()
+        enc_out = encode(self.params, cfg, mel)
+        enc_out.block_until_ready()
         t1 = time.perf_counter()
+
+        if language == "auto":
+            language = self.detect_language(enc_out)
         prompt = jnp.asarray(
             [build_prompt(cfg, language, task,
                           timestamps=bool(opts and opts.timestamps),
                           prev_tokens=prev_tokens)], jnp.int32)
         beam = opts.beam_size if opts is not None else 1
-        rng = (jax.random.PRNGKey(seed)
-               if opts is not None and opts.temperature > 0 else None)
-        res = transcribe_tokens(self.params, cfg, mel, prompt,
-                                max_new=max_new, opts=opts, beam_size=beam,
-                                rng=rng)
-        res.tokens.block_until_ready()
+        base = opts or DecodeOptions()
+        temps = tuple(fallback_temperatures) or (base.temperature,)
+
+        ids: list[int] = []
+        res = None
+        for ti, temp in enumerate(temps):
+            run_opts = base._replace(temperature=float(temp))
+            rng = (jax.random.PRNGKey(seed + ti) if temp > 0 else None)
+            # beam search only at temperature 0 (openai/whisper behavior:
+            # fallback temps switch to sampling)
+            res = decode_from_encoder(self.params, cfg, enc_out, prompt,
+                                      max_new=max_new, opts=run_opts,
+                                      beam_size=beam if temp == 0 else 1,
+                                      rng=rng)
+            res.tokens.block_until_ready()
+            n = int(res.lengths[0])
+            ids = np.asarray(res.tokens)[0, :n].tolist()
+            if len(temps) == 1:
+                break
+            text = self.tokenizer.decode(ids)
+            avg_lp = (float(res.avg_logprob(prompt.shape[1])[0])
+                      if res.sum_logprobs is not None else 0.0)
+            if (compression_ratio(text) <= COMPRESSION_RATIO_THRESHOLD
+                    and avg_lp >= LOGPROB_THRESHOLD):
+                break
         t2 = time.perf_counter()
-        n = int(res.lengths[0])
-        ids = np.asarray(res.tokens)[0, :n].tolist()
         text = self.tokenizer.decode(ids)
         t3 = time.perf_counter()
         return Transcription(
@@ -120,7 +176,8 @@ class WhisperPipeline:
                    task: str = "transcribe",
                    max_new: Optional[int] = None,
                    opts: Optional[DecodeOptions] = None,
-                   condition_on_previous: bool = False) -> Transcription:
+                   condition_on_previous: bool = False,
+                   fallback_temperatures: Sequence[float] = ()) -> Transcription:
         """Long-form: sliding non-overlapping 30 s windows, optionally
         conditioning each window on the previous window's text via the
         <|startofprev|> prompt mechanism (capability extension; the
@@ -134,7 +191,8 @@ class WhisperPipeline:
         for w in range(n_win):
             chunk = audio[w * cfg.n_samples:(w + 1) * cfg.n_samples]
             r = self.transcribe_window(chunk, language, task, max_new=max_new,
-                                       opts=opts, prev_tokens=prev)
+                                       opts=opts, prev_tokens=prev,
+                                       fallback_temperatures=fallback_temperatures)
             texts.append(r.text)
             all_ids.extend(r.tokens)
             if condition_on_previous:
