@@ -39,8 +39,9 @@ class WhisperConfig:
     # bit-identical-token contract (readme.md:19); bf16 is the fast path.
     compute_dtype: str = "float32"
     ln_eps: float = 1e-5
-    # Attention backend: None = auto (Pallas kernels on TPU, XLA reference
-    # elsewhere); "reference" | "pallas" | "pallas_interpret" to force.
+    # Attention backend: None = auto (size-based choice between the Pallas
+    # kernels and XLA attention on TPU, XLA reference elsewhere);
+    # "reference" | "pallas" | "pallas_interpret" to force.
     attn_backend: Optional[str] = None
     # Special-token layout. eot/sot/etc. cannot be derived from vocab_size
     # alone: large-v3 adds a 100th language token, shifting every task token

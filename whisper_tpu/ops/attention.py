@@ -40,12 +40,33 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
 def default_backend() -> str:
-    """'pallas' on real TPU, 'reference' elsewhere; override with
-    WHISPER_TPU_ATTN=reference|pallas|pallas_interpret."""
+    """'auto' (size-based per-call choice) on real TPU, 'reference'
+    elsewhere; override with
+    WHISPER_TPU_ATTN=reference|pallas|pallas_interpret|auto."""
     env = os.environ.get("WHISPER_TPU_ATTN")
     if env:
         return env
-    return "pallas" if jax.default_backend() == "tpu" else "reference"
+    return "auto" if jax.default_backend() == "tpu" else "reference"
+
+
+# Auto-policy thresholds, from A/B benchmarks on TPU v5e (see bench.py
+# variants): at Whisper-Tiny scale the XLA attention beats the Pallas
+# kernels — per-step kernel-launch overhead dominates a 448-slot cache, and
+# the batched-einsum encoder attention outruns the flash kernel at fp32 —
+# so Pallas engages only where its advantages bind: decode over long caches
+# (streaming the valid prefix) and prefill whose materialized score matrix
+# would pressure HBM.
+_DECODE_PALLAS_MIN_S = 4096          # cache slots
+_FLASH_MIN_SCORE_BYTES = 1 << 30     # B*H*T*S*4 (fp32 scores in HBM)
+
+
+def _auto_backend(q: jax.Array, k: jax.Array) -> str:
+    B, T, H, _ = q.shape
+    S = k.shape[2]
+    if T == 1:
+        return "pallas" if S >= _DECODE_PALLAS_MIN_S else "reference"
+    return ("pallas" if B * H * T * S * 4 >= _FLASH_MIN_SCORE_BYTES
+            else "reference")
 
 
 def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -65,6 +86,8 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
       (B, T, H, D) in q.dtype.
     """
     backend = backend or default_backend()
+    if backend == "auto":
+        backend = _auto_backend(q, k)
     if backend == "reference":
         return mha_reference(q, k, v, kv_len, causal=causal,
                              q_offset=q_offset)

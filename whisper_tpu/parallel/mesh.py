@@ -73,11 +73,31 @@ def param_pspecs(params: Params) -> Params:
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
+def sanitize_pspec(shape, spec: P, mesh: Mesh) -> P:
+    """Drop sharded axes whose dimension isn't divisible by the mesh axis
+    size (e.g. the 51,865-token vocab embedding under tp=4 — 51865 is
+    5*11*23*41, indivisible by any practical tp — falls back to
+    replicated). Correctness first; padding-based vocab sharding can
+    reintroduce the split later."""
+    fixed = []
+    for dim, ax in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if ax is None:
+            fixed.append(None)
+            continue
+        axes = ax if isinstance(ax, tuple) else (ax,)
+        size = int(np.prod([mesh.shape[a] for a in axes]))
+        fixed.append(ax if dim % size == 0 else None)
+    return P(*fixed)
+
+
 def shard_params(params: Params, mesh: Mesh) -> Params:
-    """Place a params pytree onto the mesh per param_pspecs."""
+    """Place a params pytree onto the mesh per param_pspecs (axes that don't
+    divide are replicated, see sanitize_pspec)."""
     specs = param_pspecs(params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+        lambda x, s: jax.device_put(
+            x, NamedSharding(mesh, sanitize_pspec(np.shape(x), s, mesh))),
+        params, specs)
 
 
 def activation_shardings(mesh: Mesh) -> dict[str, NamedSharding]:

@@ -289,11 +289,12 @@ def load_orbax(path: str, cfg: WhisperConfig, mesh=None) -> Params:
     template = _param_shapes_template(cfg)
     if mesh is not None:
         from jax.sharding import NamedSharding
-        from whisper_tpu.parallel.mesh import param_pspecs
+        from whisper_tpu.parallel.mesh import param_pspecs, sanitize_pspec
         specs = param_pspecs(template)
         template = jax.tree.map(
             lambda t, s: jax.ShapeDtypeStruct(
-                t.shape, t.dtype, sharding=NamedSharding(mesh, s)),
+                t.shape, t.dtype,
+                sharding=NamedSharding(mesh, sanitize_pspec(t.shape, s, mesh))),
             template, specs)
     else:
         template = jax.tree.map(
