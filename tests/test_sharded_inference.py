@@ -86,6 +86,39 @@ def test_sharded_pipeline_end_to_end(nano):
         assert isinstance(row["text"], str)
 
 
+def test_sequence_parallel_logits_match(nano):
+    """sp (encoder context) sharding: pinning the encoder output to
+    P(dp, sp, None) must not change the logits (GSPMD inserts the K/V
+    all-gathers; wrong collectives => O(1) errors)."""
+    cfg, params = nano
+    B = 4
+    rng = np.random.RandomState(9)
+    mel = (rng.randn(B, cfg.n_mels, cfg.n_frames) * 0.5).astype(np.float32)
+    prompt = np.tile(build_prompt(cfg), (B, 1)).astype(np.int32)
+
+    ref = np.asarray(jax.jit(
+        lambda p, m, pr: _prefill_logits(cfg, p, m, pr))(params, mel, prompt))
+
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    sp_params = shard_params(params, mesh)
+    mel_d = jax.device_put(mel, NamedSharding(mesh, P("dp", None, None)))
+    pr_d = jax.device_put(prompt, NamedSharding(mesh, P("dp", None)))
+    enc_sh = NamedSharding(mesh, P("dp", "sp", None))
+
+    def fwd(p, m, pr):
+        from whisper_tpu.models.whisper import encoder_forward as ef
+        enc = ef(p, cfg, m)
+        enc = jax.lax.with_sharding_constraint(enc, enc_sh)
+        cross = precompute_cross_kv(p, cfg, enc)
+        cache = init_kv_cache(cfg, m.shape[0])
+        logits, _ = decoder_forward(p, cfg, jnp.asarray(pr), jnp.int32(0),
+                                    cache, cross)
+        return logits
+
+    got = np.asarray(jax.jit(fwd)(sp_params, mel_d, pr_d))
+    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-4)
+
+
 def test_tp_must_divide_heads(nano):
     cfg, params = nano
     with pytest.raises(ValueError):

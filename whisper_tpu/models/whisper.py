@@ -66,6 +66,25 @@ def linear(x: jax.Array, p: Params, precision=HIGHEST) -> jax.Array:
     return jnp.dot(x, p["w"], precision=precision) + p["b"]
 
 
+def qkv_fused(y: jax.Array, attn: Params, n_heads: int
+              ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One fused (d -> 3d) projection instead of three d->d matmuls, then
+    split. Mathematically identical per output column (concatenation along
+    the output axis changes no accumulation order), but one MXU dispatch
+    instead of three — the per-step dispatch count is the decode-latency
+    lever on TPU. The concatenated weight is loop-invariant, so XLA hoists
+    it out of the decode while_loop.
+
+    Returns q (B,T,H,Dh), k (B,H,T,Dh), v (B,H,T,Dh)."""
+    w = jnp.concatenate([attn["q"]["w"], attn["k"]["w"], attn["v"]["w"]],
+                        axis=-1)
+    b = jnp.concatenate([attn["q"]["b"], attn["k"]["b"], attn["v"]["b"]])
+    qkv = jnp.dot(y, w, precision=HIGHEST) + b
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return (split_heads(q, n_heads), split_heads_hm(k, n_heads),
+            split_heads_hm(v, n_heads))
+
+
 def split_heads(x: jax.Array, n_heads: int) -> jax.Array:
     """(B, T, d) -> (B, T, H, Dh) — query layout."""
     b, t, d = x.shape
@@ -183,9 +202,7 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
     def block(h, lp):
         r = h
         y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
-        q = split_heads(linear(y, lp["attn"]["q"]), cfg.n_heads)
-        k = split_heads_hm(linear(y, lp["attn"]["k"]), cfg.n_heads)
-        v = split_heads_hm(linear(y, lp["attn"]["v"]), cfg.n_heads)
+        q, k, v = qkv_fused(y, lp["attn"], cfg.n_heads)
         a = merge_heads(multi_head_attention(q, k, v,
                                              backend=cfg.attn_backend))
         h = r + linear(a, lp["attn"]["o"])
@@ -194,7 +211,8 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
         y = linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
         return r + y, None
 
-    x, _ = jax.lax.scan(block, x, enc["layers"])
+    x, _ = jax.lax.scan(block, x, enc["layers"],
+                        unroll=cfg.n_audio_layers <= 8)
     return layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"], cfg.ln_eps)
 
 
@@ -264,9 +282,7 @@ def decoder_forward(params: Params, cfg: WhisperConfig,
         # --- self attention with cache append ---
         r = h
         y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
-        q = split_heads(linear(y, lp["attn"]["q"]), cfg.n_heads)
-        k_new = split_heads_hm(linear(y, lp["attn"]["k"]), cfg.n_heads)
-        v_new = split_heads_hm(linear(y, lp["attn"]["v"]), cfg.n_heads)
+        q, k_new, v_new = qkv_fused(y, lp["attn"], cfg.n_heads)
         ck_l = jax.lax.dynamic_update_slice(ck_l, k_new.astype(ck_l.dtype),
                                             (0, 0, pos_offset, 0))
         cv_l = jax.lax.dynamic_update_slice(cv_l, v_new.astype(cv_l.dtype),
@@ -292,7 +308,8 @@ def decoder_forward(params: Params, cfg: WhisperConfig,
     h, (new_k, new_v) = jax.lax.scan(
         block, h,
         (dec["layers"], kv_cache["k"], kv_cache["v"],
-         cross_kv["k"], cross_kv["v"]))
+         cross_kv["k"], cross_kv["v"]),
+        unroll=cfg.n_text_layers <= 8)
 
     h = layer_norm(h, dec["ln"]["g"], dec["ln"]["b"], cfg.ln_eps)
     # tied-embedding logit projection in fp32/HIGHEST — this is the path that

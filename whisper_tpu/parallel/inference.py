@@ -34,17 +34,23 @@ from whisper_tpu.parallel.mesh import make_mesh, shard_params
 from whisper_tpu.tokenizer import Tokenizer, build_prompt
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "opts"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "max_new", "opts", "enc_sharding"))
 def _transcribe_sharded(params, cfg: WhisperConfig, audio: jax.Array,
                         prompt: jax.Array,
                         max_new: Optional[int] = None,
-                        opts: Optional[DecodeOptions] = None) -> DecodeResult:
+                        opts: Optional[DecodeOptions] = None,
+                        enc_sharding=None) -> DecodeResult:
     """audio (B, n_samples) -> tokens, entirely on the mesh. The input
     shardings (params tp-sharded, audio/prompt dp-sharded) steer GSPMD;
     intermediate activations inherit batch sharding, weights stay
-    tp-sharded, and psums ride ICI."""
+    tp-sharded, and psums ride ICI. enc_sharding (a NamedSharding) pins the
+    encoder output layout — P(dp, sp, None) activates sequence-parallel
+    encoding; GSPMD inserts the K/V all-gathers attention needs."""
     mel = log_mel_spectrogram(audio, cfg)
     enc = encoder_forward(params, cfg, mel)
+    if enc_sharding is not None:
+        enc = jax.lax.with_sharding_constraint(enc, enc_sharding)
     return greedy_decode(params, cfg, enc, prompt, max_new=max_new, opts=opts)
 
 
@@ -54,16 +60,19 @@ class ShardedPipeline:
     tp in {1, 2, 4} and most with 8)."""
 
     def __init__(self, params, cfg: WhisperConfig | str, dp: int = 1,
-                 tp: int = 1, devices: Optional[Sequence] = None,
+                 tp: int = 1, sp: int = 1,
+                 devices: Optional[Sequence] = None,
                  tokenizer: Optional[Tokenizer] = None):
         self.cfg = get_config(cfg) if isinstance(cfg, str) else cfg
         if self.cfg.n_heads % tp:
             raise ValueError(f"tp={tp} must divide n_heads={self.cfg.n_heads}")
-        self.mesh = make_mesh(dp=dp, tp=tp, devices=list(devices) if devices
-                              else None)
-        self.dp, self.tp = dp, tp
+        self.mesh = make_mesh(dp=dp, tp=tp, sp=sp,
+                              devices=list(devices) if devices else None)
+        self.dp, self.tp, self.sp = dp, tp, sp
         self.params = shard_params(params, self.mesh)
         self.tokenizer = tokenizer or Tokenizer(config=self.cfg)
+        self.enc_sharding = (NamedSharding(self.mesh, P("dp", "sp", None))
+                             if sp > 1 else None)
 
     def _shard_batch(self, x: np.ndarray, spec: P) -> jax.Array:
         return jax.device_put(x, NamedSharding(self.mesh, spec))
@@ -87,7 +96,8 @@ class ShardedPipeline:
         audio_d = self._shard_batch(padded, P("dp", None))
         prompt_d = self._shard_batch(prompt, P("dp", None))
         res = _transcribe_sharded(self.params, cfg, audio_d, prompt_d,
-                                  max_new=max_new, opts=opts)
+                                  max_new=max_new, opts=opts,
+                                  enc_sharding=self.enc_sharding)
         tokens = np.asarray(res.tokens)
         lengths = np.asarray(res.lengths)
         return [{"text": self.tokenizer.decode(tokens[b, :lengths[b]]),

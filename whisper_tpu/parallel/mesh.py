@@ -28,14 +28,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Params = Any
 
 
-def make_mesh(dp: int = 1, tp: int = 1,
+def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1,
               devices: Optional[list] = None) -> Mesh:
-    """Build a (dp, tp) mesh over the given (default: all) devices."""
+    """Build a (dp, sp, tp) mesh over the given (default: all) devices.
+
+    sp (sequence/context parallel) shards the 1500-frame encoder sequence —
+    the long-form/Large-v3 axis (SURVEY.md §2.6 table); GSPMD inserts the
+    K/V all-gathers encoder attention needs. sp=1 collapses to the (dp, tp)
+    layout."""
     devices = devices if devices is not None else jax.devices()
-    if dp * tp != len(devices):
-        raise ValueError(f"mesh {dp}x{tp} != {len(devices)} devices")
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+    if dp * sp * tp != len(devices):
+        raise ValueError(f"mesh {dp}x{sp}x{tp} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, axis_names=("dp", "sp", "tp"))
 
 
 def param_pspecs(params: Params) -> Params:
@@ -101,10 +106,13 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
 
 
 def activation_shardings(mesh: Mesh) -> dict[str, NamedSharding]:
-    """Canonical activation/IO shardings: batch over dp."""
+    """Canonical activation/IO shardings: batch over dp; the mel time axis
+    (and hence the encoder sequence) over sp when present."""
+    sp = "sp" if "sp" in mesh.axis_names else None
     return {
-        "mel": NamedSharding(mesh, P("dp", None, None)),      # (B, n_mels, T)
+        "mel": NamedSharding(mesh, P("dp", None, sp)),        # (B, n_mels, T)
+        "enc_out": NamedSharding(mesh, P("dp", sp, None)),    # (B, S, d)
         "tokens": NamedSharding(mesh, P("dp", None)),         # (B, T)
-        "audio": NamedSharding(mesh, P("dp", None)),          # (B, samples)
+        "audio": NamedSharding(mesh, P("dp", sp)),            # (B, samples)
         "replicated": NamedSharding(mesh, P()),
     }
