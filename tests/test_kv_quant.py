@@ -1,0 +1,83 @@
+"""int8 KV-cache quantization: numerics and end-to-end decode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from whisper_tpu.decode import greedy_decode
+from whisper_tpu.models.whisper import (
+    decoder_forward,
+    dequantize_kv,
+    encoder_forward,
+    init_kv_cache,
+    init_params,
+    precompute_cross_kv,
+    quantize_kv,
+)
+from whisper_tpu.tokenizer import build_prompt
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 2, 37, 64) * 3.0, jnp.float32)
+    q, s = quantize_kv(x)
+    assert q.dtype == jnp.int8
+    y = dequantize_kv(q, s, jnp.float32)
+    # symmetric per-vector int8: error bounded by scale/2 = max|x|/254
+    bound = np.asarray(jnp.max(jnp.abs(x), axis=-1, keepdims=True)) / 254.0
+    assert (np.abs(np.asarray(y - x)) <= bound + 1e-7).all()
+
+
+def test_quantize_zero_vector_safe():
+    x = jnp.zeros((2, 8), jnp.float32)
+    q, s = quantize_kv(x)
+    y = dequantize_kv(q, s, jnp.float32)
+    assert np.isfinite(np.asarray(y)).all()
+    np.testing.assert_array_equal(np.asarray(y), 0.0)
+
+
+def test_quantized_cache_logits_close(small_cfg):
+    """Prefill logits with int8 cache must stay close to fp32 logits (the
+    cross K/V carry the quantization; |logits| ~ O(10))."""
+    cfg32 = small_cfg
+    cfg8 = small_cfg.replace(kv_cache_quant=True)
+    params = init_params(cfg32, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, cfg32.n_mels, cfg32.n_frames)) * 0.5
+    enc = encoder_forward(params, cfg32, mel)
+    prompt = jnp.asarray([build_prompt(cfg32)], jnp.int32)
+
+    def logits_for(cfg):
+        cross = precompute_cross_kv(params, cfg, enc)
+        cache = init_kv_cache(cfg, 1)
+        l, _ = decoder_forward(params, cfg, prompt, jnp.int32(0), cache, cross)
+        return np.asarray(l)
+
+    l32 = logits_for(cfg32)
+    l8 = logits_for(cfg8)
+    assert np.abs(l32 - l8).max() < 0.5
+    # the decision variable survives quantization on a clear-margin argmax
+    assert (l32.argmax(-1) == l8.argmax(-1)).mean() > 0.7
+
+
+def test_quantized_cache_structure(small_cfg):
+    cfg = small_cfg.replace(kv_cache_quant=True)
+    cache = init_kv_cache(cfg, 2)
+    assert set(cache) == {"k", "k_s", "v", "v_s"}
+    assert cache["k"].dtype == jnp.int8
+    assert cache["k_s"].shape == cache["k"].shape[:-1] + (1,)
+
+
+def test_quantized_end_to_end_decode(small_cfg):
+    cfg = small_cfg.replace(kv_cache_quant=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(1),
+                            (2, cfg.n_mels, cfg.n_frames)) * 0.5
+    enc = encoder_forward(params, cfg, mel)
+    prompt = jnp.asarray(np.tile(build_prompt(cfg), (2, 1)), jnp.int32)
+    res = greedy_decode(params, cfg, enc, prompt, max_new=6)
+    toks = np.asarray(res.tokens)
+    assert toks.shape[0] == 2
+    assert (toks[:, 0] == cfg.sot_token).all()
+    assert np.isfinite(np.asarray(res.sum_logprobs)).all()

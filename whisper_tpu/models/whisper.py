@@ -220,13 +220,45 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
 # decoder + KV cache
 # ---------------------------------------------------------------------------
 
+def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-vector symmetric int8 quantization: (..., D) -> (int8 values,
+    fp32 scale (..., 1)). Halves KV-cache HBM traffic during decode (the
+    pallas_guide quantized-cache recipe, applied at the XLA level so the
+    dequant multiply fuses into the attention matmul)."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-10)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
+                 ).astype(jnp.int8)
+    return q, s
+
+
+def dequantize_kv(q: jax.Array, s: jax.Array, dtype) -> jax.Array:
+    return (q.astype(jnp.float32) * s).astype(dtype)
+
+
+def _maybe_dequant(entry: dict, name: str, dtype) -> jax.Array:
+    """Read 'k' or 'v' from a cache slice that may be quantized."""
+    if name + "_s" in entry:
+        return dequantize_kv(entry[name], entry[name + "_s"], dtype)
+    return entry[name].astype(dtype)
+
+
 def init_kv_cache(cfg: WhisperConfig, batch: int,
                   dtype=jnp.float32) -> dict[str, jax.Array]:
     """Fixed-shape self-attention cache, head-major (replaces reference
     LayerCache's preallocated 448x384 buffers + current_len cursor,
     layers.mojo:14-52). Layout (L, B, H, S_max, Dh): per-head rows are
-    contiguous, which is what the Pallas decode kernel streams from HBM."""
+    contiguous, which is what the Pallas decode kernel streams from HBM.
+
+    With cfg.kv_cache_quant the values are int8 with per-vector fp32 scales
+    ({"k","k_s","v","v_s"})."""
     shape = (cfg.n_text_layers, batch, cfg.n_heads, cfg.n_text_ctx, cfg.head_dim)
+    if cfg.kv_cache_quant:
+        sshape = shape[:-1] + (1,)
+        return {"k": jnp.zeros(shape, jnp.int8),
+                "k_s": jnp.full(sshape, 1e-10, jnp.float32),
+                "v": jnp.zeros(shape, jnp.int8),
+                "v_s": jnp.full(sshape, 1e-10, jnp.float32)}
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -235,13 +267,19 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig,
     """Project encoder output into every decoder layer's cross-attn K/V once
     (replaces the has_cross compute-once guard, reference layers.mojo:148-157).
 
-    Returns {"k","v"}: (L, B, H, n_audio_ctx, Dh) head-major."""
+    Returns {"k","v"} (L, B, H, n_audio_ctx, Dh) head-major — int8 +
+    per-vector scales when cfg.kv_cache_quant (the cross cache is the
+    dominant decode-loop read: every step touches all 1500 positions)."""
     def proj(lp):
         k = split_heads_hm(linear(enc_out, lp["cross_attn"]["k"]), cfg.n_heads)
         v = split_heads_hm(linear(enc_out, lp["cross_attn"]["v"]), cfg.n_heads)
         return k, v
 
     ks, vs = jax.vmap(proj)(params["decoder"]["layers"])
+    if cfg.kv_cache_quant:
+        kq, ks_ = quantize_kv(ks)
+        vq, vs_ = quantize_kv(vs)
+        return {"k": kq, "k_s": ks_, "v": vq, "v_s": vs_}
     return {"k": ks, "v": vs}
 
 
@@ -277,18 +315,32 @@ def decoder_forward(params: Params, cfg: WhisperConfig,
     # kv_len. The kernels skip whole masked blocks instead of computing them.
     kv_len = pos_offset + T
 
+    def append(cache_l: dict, name: str, new: jax.Array) -> dict:
+        """Write T new rows at pos_offset; quantizing first when the cache
+        is int8 (new rows get their own per-vector scales)."""
+        if name + "_s" in cache_l:
+            q, s = quantize_kv(new)
+            return {**cache_l,
+                    name: jax.lax.dynamic_update_slice(
+                        cache_l[name], q, (0, 0, pos_offset, 0)),
+                    name + "_s": jax.lax.dynamic_update_slice(
+                        cache_l[name + "_s"], s, (0, 0, pos_offset, 0))}
+        return {**cache_l,
+                name: jax.lax.dynamic_update_slice(
+                    cache_l[name], new.astype(cache_l[name].dtype),
+                    (0, 0, pos_offset, 0))}
+
     def block(h, xs):
-        lp, ck_l, cv_l, xk_l, xv_l = xs
+        lp, cache_l, cross_l = xs
         # --- self attention with cache append ---
         r = h
         y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
         q, k_new, v_new = qkv_fused(y, lp["attn"], cfg.n_heads)
-        ck_l = jax.lax.dynamic_update_slice(ck_l, k_new.astype(ck_l.dtype),
-                                            (0, 0, pos_offset, 0))
-        cv_l = jax.lax.dynamic_update_slice(cv_l, v_new.astype(cv_l.dtype),
-                                            (0, 0, pos_offset, 0))
+        cache_l = append(cache_l, "k", k_new)
+        cache_l = append(cache_l, "v", v_new)
         a = merge_heads(multi_head_attention(
-            q, ck_l.astype(dtype), cv_l.astype(dtype), kv_len,
+            q, _maybe_dequant(cache_l, "k", dtype),
+            _maybe_dequant(cache_l, "v", dtype), kv_len,
             causal=True, q_offset=pos_offset, backend=cfg.attn_backend))
         h = r + linear(a, lp["attn"]["o"])
         # --- cross attention over precomputed encoder K/V ---
@@ -296,19 +348,18 @@ def decoder_forward(params: Params, cfg: WhisperConfig,
         y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"], cfg.ln_eps)
         q = split_heads(linear(y, lp["cross_attn"]["q"]), cfg.n_heads)
         a = merge_heads(multi_head_attention(
-            q, xk_l.astype(dtype), xv_l.astype(dtype),
+            q, _maybe_dequant(cross_l, "k", dtype),
+            _maybe_dequant(cross_l, "v", dtype),
             backend=cfg.attn_backend))
         h = r + linear(a, lp["cross_attn"]["o"])
         # --- MLP ---
         r = h
         y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], cfg.ln_eps)
         y = linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
-        return r + y, (ck_l, cv_l)
+        return r + y, cache_l
 
-    h, (new_k, new_v) = jax.lax.scan(
-        block, h,
-        (dec["layers"], kv_cache["k"], kv_cache["v"],
-         cross_kv["k"], cross_kv["v"]),
+    h, new_cache = jax.lax.scan(
+        block, h, (dec["layers"], kv_cache, cross_kv),
         unroll=cfg.n_text_layers <= 8)
 
     h = layer_norm(h, dec["ln"]["g"], dec["ln"]["b"], cfg.ln_eps)
@@ -317,4 +368,4 @@ def decoder_forward(params: Params, cfg: WhisperConfig,
     # keeps this matmul simple too, whisper.mojo:162-166).
     logits = jnp.dot(h.astype(jnp.float32), dec["tok_emb"].T.astype(jnp.float32),
                      precision=HIGHEST)
-    return logits, {"k": new_k, "v": new_v}
+    return logits, new_cache
