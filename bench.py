@@ -37,6 +37,7 @@ REPEATS = 5
 # knobs for A/B runs (defaults match the headline config)
 DTYPE = os.environ.get("WHISPER_BENCH_DTYPE", "float32")
 BACKEND = os.environ.get("WHISPER_TPU_ATTN")     # None = auto
+KV_QUANT = os.environ.get("WHISPER_BENCH_KVQUANT", "0") == "1"
 
 
 def main() -> None:
@@ -46,7 +47,8 @@ def main() -> None:
     from whisper_tpu.models.whisper import encoder_forward, init_params
     from whisper_tpu.tokenizer import build_prompt
 
-    cfg = get_config("tiny").replace(compute_dtype=DTYPE, attn_backend=BACKEND)
+    cfg = get_config("tiny").replace(compute_dtype=DTYPE, attn_backend=BACKEND,
+                                     kv_cache_quant=KV_QUANT)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if DTYPE == "bfloat16":
         from whisper_tpu.weights import to_device
@@ -95,6 +97,7 @@ def main() -> None:
         "batch": BATCH,
         "dtype": DTYPE,
         "attn": BACKEND or "auto",
+        "kv_quant": KV_QUANT,
         "device": str(jax.devices()[0]),
     }))
 

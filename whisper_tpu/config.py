@@ -94,6 +94,12 @@ class WhisperConfig:
         return self.translate_token + 1                      # 50359
 
     @property
+    def no_speech_token(self) -> int:
+        """<|nospeech|>/<|nocaptions|> — its prefill probability at the SOT
+        position is the openai/whisper silence signal."""
+        return self.transcribe_token + 3                     # 50362
+
+    @property
     def no_timestamps_token(self) -> int:
         return self.transcribe_token + 4                     # 50363
 

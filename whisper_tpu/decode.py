@@ -40,6 +40,7 @@ class DecodeResult(NamedTuple):
     tokens: jax.Array    # (B, prompt_len + 1 + max_new) int32, EOT-padded
     lengths: jax.Array   # (B,) int32 — total valid tokens incl. prompt + EOT
     sum_logprobs: Optional[jax.Array] = None   # (B,) — chosen-token logprobs
+    no_speech_prob: Optional[jax.Array] = None  # (B,) — P(<|nospeech|>) @ SOT
 
     def avg_logprob(self, prompt_len: int) -> jax.Array:
         """Mean chosen-token logprob over generated tokens (incl. EOT) —
@@ -117,6 +118,14 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
     tokens = tokens.at[:, P].set(first)
     finished0 = first == eot
 
+    # openai/whisper no-speech signal: P(<|nospeech|>) at the SOT position
+    # of the prefill (SOT may be offset by a <|startofprev|> prefix).
+    sot_idx = jnp.argmax(prompt == jnp.int32(cfg.sot_token), axis=1)  # (B,)
+    sot_logits = jnp.take_along_axis(
+        logits, sot_idx[:, None, None], axis=1)[:, 0, :]
+    no_speech_prob = jax.nn.softmax(sot_logits.astype(jnp.float32), axis=-1
+                                    )[:, cfg.no_speech_token]
+
     # ---- incremental loop (whisper.mojo:205-221) ----
     def cond(state):
         i, _, _, finished, _, _ = state
@@ -140,7 +149,7 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
         cond, body, (jnp.int32(0), tokens, cache, finished0, lp0, rng))
 
     return DecodeResult(tokens=tokens, lengths=_lengths(tokens, P, eot),
-                        sum_logprobs=sum_lp)
+                        sum_logprobs=sum_lp, no_speech_prob=no_speech_prob)
 
 
 def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,

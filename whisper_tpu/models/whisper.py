@@ -363,9 +363,17 @@ def decoder_forward(params: Params, cfg: WhisperConfig,
         unroll=cfg.n_text_layers <= 8)
 
     h = layer_norm(h, dec["ln"]["g"], dec["ln"]["b"], cfg.ln_eps)
-    # tied-embedding logit projection in fp32/HIGHEST — this is the path that
-    # decides the argmax, so it stays full precision (reference deliberately
-    # keeps this matmul simple too, whisper.mojo:162-166).
-    logits = jnp.dot(h.astype(jnp.float32), dec["tok_emb"].T.astype(jnp.float32),
-                     precision=HIGHEST)
+    # Tied-embedding logit projection decides the argmax (reference keeps
+    # this matmul deliberately simple too, whisper.mojo:162-166). fp32 mode
+    # runs it at HIGHEST precision — the token-parity contract. bf16 mode
+    # streams the embedding in bf16 with fp32 accumulation: the logit matmul
+    # is the second-largest per-step HBM read (80 MB fp32 vs 40 MB bf16) and
+    # the whole point of the bf16 path is bandwidth.
+    if dtype == jnp.float32:
+        logits = jnp.dot(h.astype(jnp.float32),
+                         dec["tok_emb"].T.astype(jnp.float32),
+                         precision=HIGHEST)
+    else:
+        logits = jnp.dot(h, dec["tok_emb"].T.astype(dtype),
+                         preferred_element_type=jnp.float32)
     return logits, new_cache

@@ -39,6 +39,7 @@ from whisper_tpu import weights as weights_lib
 # (mean chosen-token logprob < -1.0).
 COMPRESSION_RATIO_THRESHOLD = 2.4
 LOGPROB_THRESHOLD = -1.0
+NO_SPEECH_THRESHOLD = 0.6
 FALLBACK_TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
 
 
@@ -118,6 +119,7 @@ class WhisperPipeline:
                           prev_tokens: tuple = (),
                           seed: int = 0,
                           fallback_temperatures: Sequence[float] = (),
+                          no_speech_threshold: Optional[float] = None,
                           ) -> Transcription:
         """Transcribe one <=30 s window (the reference's whole capability,
         whisper.mojo:184-223), plus auto language detection
@@ -165,6 +167,15 @@ class WhisperPipeline:
                     and avg_lp >= LOGPROB_THRESHOLD):
                 break
         t2 = time.perf_counter()
+        # silence gate (openai semantics): confident no-speech AND
+        # low-confidence text => drop the window's text
+        if (no_speech_threshold is not None
+                and res is not None and res.no_speech_prob is not None):
+            nsp = float(np.asarray(res.no_speech_prob)[0])
+            avg_lp = (float(res.avg_logprob(prompt.shape[1])[0])
+                      if res.sum_logprobs is not None else 0.0)
+            if nsp > no_speech_threshold and avg_lp < LOGPROB_THRESHOLD:
+                ids = []
         text = self.tokenizer.decode(ids)
         t3 = time.perf_counter()
         return Transcription(
@@ -177,7 +188,8 @@ class WhisperPipeline:
                    max_new: Optional[int] = None,
                    opts: Optional[DecodeOptions] = None,
                    condition_on_previous: bool = False,
-                   fallback_temperatures: Sequence[float] = ()) -> Transcription:
+                   fallback_temperatures: Sequence[float] = (),
+                   initial_prompt: Optional[str] = None) -> Transcription:
         """Long-form: sliding non-overlapping 30 s windows, optionally
         conditioning each window on the previous window's text via the
         <|startofprev|> prompt mechanism (capability extension; the
@@ -186,7 +198,9 @@ class WhisperPipeline:
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
         n_win = max(1, -(-len(audio) // cfg.n_samples))
         texts, all_ids = [], []
-        prev: tuple = ()
+        # initial_prompt text conditions the first window via <|startofprev|>
+        prev: tuple = (tuple(self.tokenizer.encode_greedy(initial_prompt))
+                       if initial_prompt else ())
         timings = {"mel_s": 0.0, "decode_s": 0.0, "detok_s": 0.0, "total_s": 0.0}
         for w in range(n_win):
             chunk = audio[w * cfg.n_samples:(w + 1) * cfg.n_samples]

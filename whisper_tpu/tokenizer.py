@@ -117,6 +117,46 @@ class Tokenizer:
     def id_to_token(self, tid: int) -> str:
         return self.tokens[int(tid)]
 
+    # ---- encode (capability extension: the reference and this framework's
+    # decode path never need one — prompt ids are constructed — but
+    # initial_prompt conditioning takes user text) ----
+    @functools.cached_property
+    def _byte_encoder_table(self) -> dict[int, str]:
+        return {b: c for c, b in _byte_decoder().items()}
+
+    @functools.cached_property
+    def _vocab_index(self) -> dict[str, int]:
+        idx: dict[str, int] = {}
+        for tid, tok in enumerate(self.tokens):
+            if tok.startswith("<|") and tok.endswith("|>"):
+                continue        # specials are never produced from user text
+            idx.setdefault(tok.replace("\\n", "\n"), tid)
+        return idx
+
+    def encode_greedy(self, text: str) -> list[int]:
+        """Longest-match greedy encoding over the vocab table.
+
+        NOT canonical BPE (vocab.txt carries no merge ranks — the reference
+        ships none, tokenizer.mojo is decode-only); any greedy segmentation
+        decodes back to the same text, which is all prompt conditioning
+        needs. decode(encode_greedy(t)) == t for encodable text."""
+        be = self._byte_encoder_table
+        vocab = self._vocab_index
+        units = "".join(be.get(b, "?") for b in text.encode("utf-8"))
+        out: list[int] = []
+        i = 0
+        max_len = max((len(t) for t in vocab), default=1)
+        while i < len(units):
+            for ln in range(min(max_len, len(units) - i), 0, -1):
+                tid = vocab.get(units[i:i + ln])
+                if tid is not None:
+                    out.append(tid)
+                    i += ln
+                    break
+            else:
+                i += 1          # unencodable unit: skip
+        return out
+
 
 def split_segments(cfg: WhisperConfig, ids: Sequence[int],
                    tokenizer: "Tokenizer",
