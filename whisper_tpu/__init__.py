@@ -20,13 +20,24 @@ Reference parity map (see SURVEY.md):
 
 from whisper_tpu.config import WhisperConfig, CONFIGS, get_config
 
-__version__ = "0.1.0"
-__all__ = ["WhisperConfig", "CONFIGS", "get_config", "__version__"]
+__version__ = "0.2.0"
+__all__ = ["WhisperConfig", "CONFIGS", "get_config", "WhisperPipeline",
+           "BatchedTranscriber", "ShardedPipeline", "Tokenizer",
+           "DecodeOptions", "__version__"]
+
+_LAZY = {
+    # Lazy imports keep `import whisper_tpu` cheap (these pull in jax).
+    "WhisperPipeline": ("whisper_tpu.pipeline", "WhisperPipeline"),
+    "BatchedTranscriber": ("whisper_tpu.serving", "BatchedTranscriber"),
+    "ShardedPipeline": ("whisper_tpu.parallel.inference", "ShardedPipeline"),
+    "Tokenizer": ("whisper_tpu.tokenizer", "Tokenizer"),
+    "DecodeOptions": ("whisper_tpu.decode_rules", "DecodeOptions"),
+}
 
 
 def __getattr__(name):
-    # Lazy import to keep `import whisper_tpu` cheap (pipeline pulls in jax).
-    if name == "WhisperPipeline":
-        from whisper_tpu.pipeline import WhisperPipeline
-        return WhisperPipeline
+    if name in _LAZY:
+        import importlib
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
     raise AttributeError(name)
