@@ -8,9 +8,15 @@ multicore CPU (reference readme.md:82) => RTFx ~= 40.5 single-stream. The
 north-star target (BASELINE.json) is >=100x real-time *batched* per TPU v5e
 chip. This harness measures end-to-end on-device work — log-mel frontend +
 encoder + 4-token prefill + an 89-token greedy decode (matching the
-reference clip's 89 golden tokens, expected_tokens.txt) — at batch 8, on
-random tiny weights (real checkpoints are unavailable offline; the compute
-is weight-value-independent since the step count is fixed).
+reference clip's 89 golden tokens, expected_tokens.txt) — on random tiny
+weights (real checkpoints are unavailable offline; the compute is
+weight-value-independent since the step count is fixed).
+
+Headline config = the serving sweet spot measured on v5e: bfloat16, batch 32
+(sweep: b8 2109 / b16 3300 / b32 4371 / b64 4518 RTFx — flattens past b32 as
+the per-step KV-cache reads scale with batch). fp32 batch 8, the
+token-parity configuration, measures 1530 RTFx; env knobs below select any
+variant.
 """
 
 from __future__ import annotations
@@ -30,12 +36,12 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-BATCH = int(os.environ.get("WHISPER_BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("WHISPER_BENCH_BATCH", "32"))
 GEN_TOKENS = 89          # decode exactly as many tokens as the golden clip
 BASELINE_RTFX = 30.0 / 0.74
 REPEATS = 5
 # knobs for A/B runs (defaults match the headline config)
-DTYPE = os.environ.get("WHISPER_BENCH_DTYPE", "float32")
+DTYPE = os.environ.get("WHISPER_BENCH_DTYPE", "bfloat16")
 BACKEND = os.environ.get("WHISPER_TPU_ATTN")     # None = auto
 KV_QUANT = os.environ.get("WHISPER_BENCH_KVQUANT", "0") == "1"
 
