@@ -1,0 +1,79 @@
+"""Word-level timestamp alignment: DTW, word grouping, end-to-end."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.alignment import (
+    cross_attention_weights,
+    dtw_path,
+    median_filter,
+    word_timestamps,
+)
+from whisper_tpu.models.whisper import encoder_forward, init_params
+from whisper_tpu.tokenizer import Tokenizer, build_prompt
+
+
+def test_dtw_diagonal_identity():
+    """A sharp diagonal cost matrix aligns i -> i."""
+    N = 10
+    cost = np.ones((N, N))
+    np.fill_diagonal(cost, 0.0)
+    ti, tj = dtw_path(cost)
+    # path visits every (i, i)
+    diag = set(zip(ti.tolist(), tj.tolist()))
+    assert all((i, i) in diag for i in range(N))
+
+
+def test_dtw_monotonic_and_complete():
+    rng = np.random.RandomState(0)
+    cost = rng.rand(17, 41)
+    ti, tj = dtw_path(cost)
+    assert ti[0] == 0 and tj[0] == 0
+    assert ti[-1] == 16 and tj[-1] == 40
+    assert (np.diff(ti) >= 0).all() and (np.diff(tj) >= 0).all()
+    assert set(ti.tolist()) == set(range(17))     # every token aligned
+
+
+def test_median_filter_removes_spikes():
+    x = np.zeros((2, 50))
+    x[:, 25] = 100.0
+    y = median_filter(x, 7)
+    assert np.abs(y).max() < 1e-9
+
+
+def test_cross_attention_weights_shape(small_cfg):
+    cfg = small_cfg
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, cfg.n_mels, cfg.n_frames)) * 0.5
+    enc = encoder_forward(params, cfg, mel)
+    toks = jnp.asarray([build_prompt(cfg) + [100, 200, cfg.eot_token]],
+                       jnp.int32)
+    w = np.asarray(cross_attention_weights(params, cfg, toks, enc))
+    L, B, H, T, S = w.shape
+    assert (L, B, H, S) == (cfg.n_text_layers, 1, cfg.n_heads, cfg.n_audio_ctx)
+    assert T == toks.shape[1]
+    np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-4)   # rows are probs
+
+
+def test_word_timestamps_end_to_end(small_cfg, tiny_cfg):
+    """Structural checks on real (random-weight) attention: monotone
+    non-negative times within the audio window, words reassemble the text."""
+    cfg = small_cfg
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, cfg.n_mels, cfg.n_frames)) * 0.5
+    enc = encoder_forward(params, cfg, mel)
+    tok = Tokenizer(config=tiny_cfg)
+    text_ids = tok.encode_greedy(" hello brave new world")
+    tokens = build_prompt(cfg) + text_ids + [cfg.eot_token]
+
+    words = word_timestamps(params, cfg, tok, tokens, enc, audio_seconds=10.0)
+    assert len(words) == 4
+    assert "".join(w.word for w in words) == " hello brave new world"
+    for w in words:
+        assert 0.0 <= w.start <= w.end <= 10.0 + 0.05
+    # word starts are non-decreasing (DTW monotonicity)
+    starts = [w.start for w in words]
+    assert starts == sorted(starts)

@@ -1,0 +1,219 @@
+"""Word-level timestamps via cross-attention alignment (DTW).
+
+Capability extension far beyond the reference (which emits token ids only).
+Method follows openai/whisper's find_alignment: run one teacher-forced
+decoder pass over the final token sequence collecting cross-attention
+probabilities, average over alignment heads, median-filter along time,
+dynamic-time-warp the -log attention matrix, then group tokens into words
+and read each word's first/last aligned frame (1 encoder frame = 0.02 s).
+
+The official per-model alignment-head lists are not redistributable here;
+by default the heads of the upper half of decoder layers are used — the
+documented fallback when alignment heads are unknown. `alignment_heads`
+accepts explicit (layer, head) pairs for exact parity with openai's tables.
+
+The attention-collection pass is jitted XLA (probs must be materialized, so
+the flash kernels don't apply); DTW runs host-side in numpy (O(T*S) on a
+<=448 x 1500 matrix — microseconds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.config import WhisperConfig
+from whisper_tpu.models.whisper import (
+    layer_norm,
+    linear,
+    merge_heads,
+    qkv_fused,
+    split_heads,
+    split_heads_hm,
+)
+from whisper_tpu.ops.attention import mha_reference
+
+FRAME_S = 0.02          # one encoder position
+
+
+@dataclasses.dataclass
+class WordTiming:
+    word: str
+    start: float
+    end: float
+    tokens: list[int]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def cross_attention_weights(params, cfg: WhisperConfig,
+                            tokens: jax.Array,
+                            enc_out: jax.Array) -> jax.Array:
+    """Teacher-forced decoder pass returning cross-attn probabilities.
+
+    Args:
+      tokens: (B, T) int32 — the full decoded sequence (prompt + text).
+      enc_out: (B, S, d).
+    Returns:
+      (L, B, H, T, S) fp32 cross-attention probabilities.
+    """
+    dec = params["decoder"]
+    B, T = tokens.shape
+    h = dec["tok_emb"][tokens] + dec["pos_emb"][:T]
+    h = h.astype(jnp.float32)
+
+    def block(h, lp):
+        r = h
+        y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
+        q, k, v = qkv_fused(y, lp["attn"], cfg.n_heads)
+        a = merge_heads(mha_reference(q, k, v, causal=True))
+        h = r + linear(a, lp["attn"]["o"])
+        r = h
+        y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"], cfg.ln_eps)
+        q = split_heads(linear(y, lp["cross_attn"]["q"]), cfg.n_heads)
+        xk = split_heads_hm(linear(enc_out, lp["cross_attn"]["k"]), cfg.n_heads)
+        xv = split_heads_hm(linear(enc_out, lp["cross_attn"]["v"]), cfg.n_heads)
+        # explicit probs (the quantity being extracted)
+        scale = cfg.head_dim ** -0.5
+        scores = jnp.einsum("bthd,bhsd->bhts",
+                            q.astype(jnp.float32) * scale,
+                            xk.astype(jnp.float32))
+        probs = jax.nn.softmax(scores, axis=-1)           # (B, H, T, S)
+        a = jnp.einsum("bhts,bhsd->bthd", probs, xv.astype(jnp.float32))
+        h = r + linear(merge_heads(a), lp["cross_attn"]["o"])
+        r = h
+        y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], cfg.ln_eps)
+        from whisper_tpu.models.whisper import gelu
+        h = r + linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
+        return h, probs
+
+    _, all_probs = jax.lax.scan(block, h, dec["layers"])
+    return all_probs                                      # (L, B, H, T, S)
+
+
+def median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
+    """Median filter along the last axis (openai uses width 7)."""
+    if width <= 1:
+        return x
+    pad = width // 2
+    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="edge")
+    out = np.empty_like(x)
+    for i in range(x.shape[-1]):
+        out[..., i] = np.median(xp[..., i:i + width], axis=-1)
+    return out
+
+
+def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Monotonic DTW over cost (N, M): returns (text_indices, time_indices)
+    tracing the minimal path from (0,0) to (N-1,M-1). Standard algorithm
+    with the (match, insertion, deletion) step set."""
+    N, M = cost.shape
+    D = np.full((N + 1, M + 1), np.inf)
+    D[0, 0] = 0.0
+    trace = np.zeros((N + 1, M + 1), dtype=np.int8)
+    for i in range(1, N + 1):
+        row_c = cost[i - 1]
+        for j in range(1, M + 1):
+            c0 = D[i - 1, j - 1]
+            c1 = D[i - 1, j]
+            c2 = D[i, j - 1]
+            if c0 <= c1 and c0 <= c2:
+                D[i, j] = c0 + row_c[j - 1]
+                trace[i, j] = 0
+            elif c1 <= c2:
+                D[i, j] = c1 + row_c[j - 1]
+                trace[i, j] = 1
+            else:
+                D[i, j] = c2 + row_c[j - 1]
+                trace[i, j] = 2
+    i, j = N, M
+    ti, tj = [], []
+    while i > 0 and j > 0:
+        ti.append(i - 1)
+        tj.append(j - 1)
+        t = trace[i, j]
+        if t == 0:
+            i, j = i - 1, j - 1
+        elif t == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.asarray(ti[::-1]), np.asarray(tj[::-1])
+
+
+def _split_words(tokenizer, text_tokens: Sequence[int]) -> list[list[int]]:
+    """Group text tokens into words at space boundaries (the byte-level
+    token starting with 'Ġ' opens a new word)."""
+    words: list[list[int]] = []
+    for tid in text_tokens:
+        tok = tokenizer.id_to_token(int(tid))
+        starts_word = tok.startswith("Ġ") or not words
+        if starts_word:
+            words.append([int(tid)])
+        else:
+            words[-1].append(int(tid))
+    return words
+
+
+def word_timestamps(params, cfg: WhisperConfig, tokenizer,
+                    tokens: Sequence[int], enc_out: jax.Array,
+                    audio_seconds: float = 30.0,
+                    alignment_heads: Optional[Sequence[tuple[int, int]]] = None,
+                    medfilt_width: int = 7) -> list[WordTiming]:
+    """Word timings for one decoded sequence.
+
+    Args:
+      tokens: the full decoded ids (prompt + text + EOT) for ONE sequence.
+      enc_out: (1, S, d) — that sequence's encoder output.
+      audio_seconds: actual (pre-padding) audio length; frames beyond it
+        are excluded from alignment.
+      alignment_heads: explicit (layer, head) pairs; default = all heads of
+        the upper half of decoder layers.
+    """
+    tokens = [int(t) for t in tokens]
+    tok_arr = jnp.asarray([tokens], jnp.int32)
+    w = np.asarray(cross_attention_weights(params, cfg, tok_arr, enc_out))
+    L, _, H, T, S = w.shape
+
+    if alignment_heads is None:
+        alignment_heads = [(l, h) for l in range(L // 2, L) for h in range(H)]
+    sel = np.stack([w[l, 0, h] for l, h in alignment_heads])   # (A, T, S)
+
+    n_frames = min(S, max(1, int(round(audio_seconds / FRAME_S))))
+    sel = sel[:, :, :n_frames]
+    # normalize each head's attention along time, median filter, average
+    sel = (sel - sel.mean(-1, keepdims=True)) / (sel.std(-1, keepdims=True) + 1e-9)
+    sel = median_filter(sel, medfilt_width)
+    matrix = sel.mean(axis=0)                                  # (T, n_frames)
+
+    # align only text positions (skip prompt specials; stop at EOT)
+    is_text = [(i, t) for i, t in enumerate(tokens) if t < cfg.eot_token]
+    if not is_text:
+        return []
+    text_pos = [i for i, _ in is_text]
+    text_ids = [t for _, t in is_text]
+    ti, tj = dtw_path(-matrix[text_pos])
+
+    # first/last aligned frame per token
+    tok_start = np.full(len(text_pos), np.inf)
+    tok_end = np.zeros(len(text_pos))
+    for a, b in zip(ti, tj):
+        tok_start[a] = min(tok_start[a], b)
+        tok_end[a] = max(tok_end[a], b)
+
+    words = _split_words(tokenizer, text_ids)
+    out: list[WordTiming] = []
+    k = 0
+    for group in words:
+        i0, i1 = k, k + len(group) - 1
+        out.append(WordTiming(
+            word=tokenizer.decode(group),
+            start=float(tok_start[i0] * FRAME_S),
+            end=float((tok_end[i1] + 1) * FRAME_S),
+            tokens=group))
+        k += len(group)
+    return out

@@ -45,6 +45,8 @@ def main(argv=None) -> int:
                    help="suppress the standard non-speech token set")
     p.add_argument("--condition-on-previous", action="store_true",
                    help="long-form: condition each window on previous text")
+    p.add_argument("--word-timestamps", action="store_true",
+                   help="emit per-word timings (cross-attention DTW)")
     p.add_argument("--seed", type=int, default=0, help="sampling seed")
     args = p.parse_args(argv)
 
@@ -95,10 +97,18 @@ def main(argv=None) -> int:
     wav = load_audio(args.audio, cfg.sample_rate)
     r = pipe.transcribe(wav, args.language, args.task, max_new=args.max_new,
                         opts=opts,
-                        condition_on_previous=args.condition_on_previous)
+                        condition_on_previous=args.condition_on_previous,
+                        word_timestamps=args.word_timestamps)
     print(f"timings: {r.timings}")
     print("tokens:", r.tokens)
     print("text:", r.text)
+    if r.segments:
+        for s in r.segments:
+            end = "?" if s["end"] is None else f"{s['end']:.2f}"
+            print(f"[{s['start']:.2f} -> {end}] {s['text']}")
+    if r.words:
+        print("words:", " ".join(
+            f"{w.word.strip()}[{w.start:.2f}-{w.end:.2f}]" for w in r.words))
     return 0
 
 

@@ -57,6 +57,8 @@ class Transcription:
     text: str
     tokens: list[int]
     timings: dict[str, float]
+    words: Optional[list] = None       # [WordTiming] when word_timestamps
+    segments: Optional[list] = None    # [{start,end,text}] when timestamps
 
 
 class WhisperPipeline:
@@ -120,6 +122,8 @@ class WhisperPipeline:
                           seed: int = 0,
                           fallback_temperatures: Sequence[float] = (),
                           no_speech_threshold: Optional[float] = None,
+                          word_timestamps: bool = False,
+                          window_offset_s: float = 0.0,
                           ) -> Transcription:
         """Transcribe one <=30 s window (the reference's whole capability,
         whisper.mojo:184-223), plus auto language detection
@@ -177,11 +181,25 @@ class WhisperPipeline:
             if nsp > no_speech_threshold and avg_lp < LOGPROB_THRESHOLD:
                 ids = []
         text = self.tokenizer.decode(ids)
+        words = segments = None
+        if word_timestamps and ids:
+            from whisper_tpu.alignment import word_timestamps as _align
+            secs = min(len(audio) / cfg.sample_rate, cfg.chunk_length_s)
+            words = _align(self.params, cfg, self.tokenizer, ids, enc_out,
+                           audio_seconds=max(secs, 1.0))
+            for w in words:
+                w.start += window_offset_s
+                w.end += window_offset_s
+        if opts is not None and opts.timestamps and ids:
+            from whisper_tpu.tokenizer import split_segments
+            segments = split_segments(cfg, ids, self.tokenizer,
+                                      window_offset_s=window_offset_s)
         t3 = time.perf_counter()
         return Transcription(
             text=text, tokens=ids,
             timings={"mel_s": t1 - t0, "decode_s": t2 - t1,
-                     "detok_s": t3 - t2, "total_s": t3 - t0})
+                     "detok_s": t3 - t2, "total_s": t3 - t0},
+            words=words, segments=segments)
 
     def transcribe(self, audio: np.ndarray, language: str = "en",
                    task: str = "transcribe",
@@ -189,7 +207,9 @@ class WhisperPipeline:
                    opts: Optional[DecodeOptions] = None,
                    condition_on_previous: bool = False,
                    fallback_temperatures: Sequence[float] = (),
-                   initial_prompt: Optional[str] = None) -> Transcription:
+                   initial_prompt: Optional[str] = None,
+                   word_timestamps: bool = False,
+                   no_speech_threshold: Optional[float] = None) -> Transcription:
         """Long-form: sliding non-overlapping 30 s windows, optionally
         conditioning each window on the previous window's text via the
         <|startofprev|> prompt mechanism (capability extension; the
@@ -198,17 +218,27 @@ class WhisperPipeline:
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
         n_win = max(1, -(-len(audio) // cfg.n_samples))
         texts, all_ids = [], []
+        all_words: list = []
+        all_segments: list = []
         # initial_prompt text conditions the first window via <|startofprev|>
         prev: tuple = (tuple(self.tokenizer.encode_greedy(initial_prompt))
                        if initial_prompt else ())
         timings = {"mel_s": 0.0, "decode_s": 0.0, "detok_s": 0.0, "total_s": 0.0}
         for w in range(n_win):
             chunk = audio[w * cfg.n_samples:(w + 1) * cfg.n_samples]
-            r = self.transcribe_window(chunk, language, task, max_new=max_new,
-                                       opts=opts, prev_tokens=prev,
-                                       fallback_temperatures=fallback_temperatures)
+            r = self.transcribe_window(
+                chunk, language, task, max_new=max_new,
+                opts=opts, prev_tokens=prev,
+                fallback_temperatures=fallback_temperatures,
+                no_speech_threshold=no_speech_threshold,
+                word_timestamps=word_timestamps,
+                window_offset_s=w * cfg.chunk_length_s)
             texts.append(r.text)
             all_ids.extend(r.tokens)
+            if r.words:
+                all_words.extend(r.words)
+            if r.segments:
+                all_segments.extend(r.segments)
             if condition_on_previous:
                 # text tokens only (strip specials), capped at half the ctx
                 gen = [t for t in r.tokens if t < cfg.eot_token]
@@ -216,7 +246,9 @@ class WhisperPipeline:
             for k in timings:
                 timings[k] += r.timings[k]
         return Transcription(text="".join(texts), tokens=all_ids,
-                             timings=timings)
+                             timings=timings,
+                             words=all_words or None,
+                             segments=all_segments or None)
 
 
 def load_wav(path: str, target_rate: int = 16_000) -> np.ndarray:
