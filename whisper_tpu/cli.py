@@ -12,7 +12,20 @@ everything is a flag: model size, weight format, language, task, input kind.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+import jax
+
+# The axon TPU plugin's sitecustomize force-sets jax_platforms="axon,cpu",
+# silently overriding a user's JAX_PLATFORMS=cpu. Honor the documented env
+# var semantics: an explicit JAX_PLATFORMS wins.
+_env_platforms = os.environ.get("JAX_PLATFORMS", "").strip()
+if _env_platforms:
+    try:
+        jax.config.update("jax_platforms", _env_platforms)
+    except Exception:
+        pass
 
 import jax.numpy as jnp
 import numpy as np
