@@ -60,6 +60,10 @@ def main(argv=None) -> int:
                    help="long-form: condition each window on previous text")
     p.add_argument("--word-timestamps", action="store_true",
                    help="emit per-word timings (cross-attention DTW)")
+    p.add_argument("--output-format", choices=["text", "srt", "vtt", "tsv",
+                                               "json"], default="text")
+    p.add_argument("--output", help="write the formatted transcript here "
+                   "(default: stdout)")
     p.add_argument("--seed", type=int, default=0, help="sampling seed")
     args = p.parse_args(argv)
 
@@ -122,6 +126,26 @@ def main(argv=None) -> int:
     if r.words:
         print("words:", " ".join(
             f"{w.word.strip()}[{w.start:.2f}-{w.end:.2f}]" for w in r.words))
+
+    if args.output_format != "text" or args.output:
+        from whisper_tpu import formats
+        segs = r.segments or (formats.words_to_segments(r.words)
+                              if r.words else
+                              [{"start": 0.0, "end": len(wav) / cfg.sample_rate,
+                                "text": r.text}])
+        rendered = {
+            "text": r.text,
+            "srt": formats.to_srt(segs),
+            "vtt": formats.to_vtt(segs),
+            "tsv": formats.to_tsv(segs),
+            "json": formats.to_json(r.text, r.segments, r.words,
+                                    language=args.language),
+        }[args.output_format]
+        if args.output:
+            with open(args.output, "w", encoding="utf-8") as f:
+                f.write(rendered + "\n")
+        else:
+            print(rendered)
     return 0
 
 
