@@ -377,3 +377,69 @@ def decoder_forward(params: Params, cfg: WhisperConfig,
         logits = jnp.dot(h, dec["tok_emb"].T.astype(dtype),
                          preferred_element_type=jnp.float32)
     return logits, new_cache
+
+
+def decoder_step_ragged(params: Params, cfg: WhisperConfig,
+                        tokens1: jax.Array, pos: jax.Array,
+                        kv_cache: dict[str, jax.Array],
+                        cross_kv: dict[str, jax.Array],
+                        ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """One decode step where every batch row sits at its OWN position —
+    the continuous-batching engine's kernel (sequences join/leave the batch
+    mid-decode, so there is no shared pos_offset).
+
+    Args:
+      tokens1: (B, 1) int32 — each row's last token.
+      pos: (B,) int32 — each row's absolute position (cache write index).
+      kv_cache/cross_kv: as decoder_forward (unquantized layout).
+    Returns:
+      logits (B, 1, vocab) fp32, updated kv_cache.
+    """
+    dec = params["decoder"]
+    dtype = jnp.dtype(cfg.compute_dtype)
+    B = tokens1.shape[0]
+    rows = jnp.arange(B)
+
+    h = dec["tok_emb"][tokens1].astype(dtype)            # (B, 1, d)
+    h = h + dec["pos_emb"][pos][:, None].astype(dtype)
+    kv_len = pos + 1                                     # (B,)
+
+    def block(h, xs):
+        lp, cache_l, cross_l = xs
+        r = h
+        y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
+        q, k_new, v_new = qkv_fused(y, lp["attn"], cfg.n_heads)
+        # per-row scatter: row b's new K/V land at position pos[b]
+        ck = cache_l["k"].at[rows, :, pos, :].set(
+            k_new[:, :, 0, :].astype(cache_l["k"].dtype))
+        cv = cache_l["v"].at[rows, :, pos, :].set(
+            v_new[:, :, 0, :].astype(cache_l["v"].dtype))
+        a = merge_heads(multi_head_attention(
+            q, ck.astype(dtype), cv.astype(dtype), kv_len,
+            backend=cfg.attn_backend))
+        h = r + linear(a, lp["attn"]["o"])
+        r = h
+        y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"], cfg.ln_eps)
+        q = split_heads(linear(y, lp["cross_attn"]["q"]), cfg.n_heads)
+        a = merge_heads(multi_head_attention(
+            q, cross_l["k"].astype(dtype), cross_l["v"].astype(dtype),
+            backend=cfg.attn_backend))
+        h = r + linear(a, lp["cross_attn"]["o"])
+        r = h
+        y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], cfg.ln_eps)
+        h = r + linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
+        return h, {"k": ck, "v": cv}
+
+    h, new_cache = jax.lax.scan(
+        block, h, (dec["layers"], kv_cache, cross_kv),
+        unroll=cfg.n_text_layers <= 8)
+
+    h = layer_norm(h, dec["ln"]["g"], dec["ln"]["b"], cfg.ln_eps)
+    if dtype == jnp.float32:
+        logits = jnp.dot(h.astype(jnp.float32),
+                         dec["tok_emb"].T.astype(jnp.float32),
+                         precision=HIGHEST)
+    else:
+        logits = jnp.dot(h, dec["tok_emb"].T.astype(dtype),
+                         preferred_element_type=jnp.float32)
+    return logits, new_cache

@@ -86,7 +86,11 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
       (B, T, H, D) in q.dtype.
     """
     backend = backend or default_backend()
-    if backend == "auto":
+    ragged = (kv_len is not None and jnp.ndim(kv_len) >= 1) or \
+        jnp.ndim(q_offset) >= 1
+    if ragged:
+        backend = "reference"     # per-row lengths: XLA mask formulation
+    elif backend == "auto":
         backend = _auto_backend(q, k)
     if backend == "reference":
         return mha_reference(q, k, v, kv_len, causal=causal,
@@ -110,24 +114,32 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
                   precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """XLA reference attention (semantic ground truth).
 
-    Same signature semantics as multi_head_attention. Scaling matches the
-    reference: q * head_dim**-0.5 before the score matmul
-    (reference layers.mojo:184: scale = 1/sqrt(64))."""
+    Same signature semantics as multi_head_attention; additionally kv_len
+    and q_offset may be per-batch (B,) arrays (ragged lengths — the
+    continuous-batching decode path). Scaling matches the reference:
+    q * head_dim**-0.5 before the score matmul (reference layers.mojo:184:
+    scale = 1/sqrt(64))."""
     B, T, H, D = q.shape
     S = k.shape[2]
     qf = q.astype(jnp.float32) * (D ** -0.5)
     scores = jnp.einsum("bthd,bhsd->bhts", qf, k.astype(jnp.float32),
                         precision=precision)
-    key_idx = jnp.arange(S)[None, :]                     # (1, S)
+
+    def per_batch(x):
+        """scalar -> (1, 1, 1); (B,) -> (B, 1, 1); broadcast over (T, S)."""
+        a = jnp.asarray(x)
+        return a.reshape(-1, 1, 1) if a.ndim == 1 else a.reshape(1, 1, 1)
+
+    key_idx = jnp.arange(S)[None, None, :]               # (1, 1, S)
     mask = None
     if kv_len is not None:
-        mask = key_idx < kv_len                          # (1, S)
+        mask = key_idx < per_batch(kv_len)               # (B?, 1, S)
     if causal:
-        q_idx = q_offset + jnp.arange(T)[:, None]        # (T, 1)
-        c = key_idx <= q_idx                             # (T, S)
+        q_idx = per_batch(q_offset) + jnp.arange(T)[None, :, None]
+        c = key_idx <= q_idx                             # (B?, T, S)
         mask = c if mask is None else jnp.logical_and(mask, c)
     if mask is not None:
-        scores = jnp.where(mask[None, None], scores, _NEG_INF)
+        scores = jnp.where(mask[:, None], scores, _NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhts,bhsd->bthd", probs, v.astype(jnp.float32),
                      precision=precision)

@@ -1,0 +1,210 @@
+"""Continuous batching: sequences join and leave a shared decode batch at
+token granularity.
+
+The dynamic batcher (serving.py) groups whole requests per batch — a long
+transcript holds the batch hostage. This engine runs ONE jitted lockstep
+decode step over B_max slots; each slot carries its own position, cache
+region, cross-attention state, and forced-token queue. New requests claim a
+free slot between steps (their prompt tokens are *teacher-forced* through
+the same step function — prefill and decode are one code path, so shapes
+never change), and finished slots are harvested and refilled immediately.
+
+This is the "continuous batching + per-sequence cache" final-phase feature
+of SURVEY.md §7, designed jit-first: the step function is one compiled
+executable regardless of slot occupancy; all raggedness is data (per-row
+pos/kv_len arrays), never shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.audio import log_mel_spectrogram, pad_or_trim
+from whisper_tpu.config import WhisperConfig, get_config
+from whisper_tpu.decode import encode
+from whisper_tpu.models.whisper import (
+    decoder_step_ragged,
+    init_kv_cache,
+    precompute_cross_kv,
+)
+from whisper_tpu.tokenizer import Tokenizer, build_prompt
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _engine_step(params, cfg: WhisperConfig, state):
+    """One lockstep token for every active slot.
+
+    state: dict with
+      tokens (B, total) i32   — per-slot token buffer (prompt pre-written)
+      pos (B,) i32            — tokens written so far (also cache length)
+      forced_len (B,) i32     — prompt length (teacher-forced region)
+      active (B,) bool        — slot holds a live request
+      finished (B,) bool      — slot hit EOT (awaiting harvest)
+      cache {k, v}            — ragged self-attn cache
+      cross {k, v}            — per-slot cross K/V
+    """
+    eot = jnp.int32(cfg.eot_token)
+    tokens, pos = state["tokens"], state["pos"]
+    B = tokens.shape[0]
+    rows = jnp.arange(B)
+
+    run = jnp.logical_and(state["active"], jnp.logical_not(state["finished"]))
+    # inactive rows still flow through the math (masked out afterwards);
+    # clamp their positions for safe indexing
+    safe_pos = jnp.clip(pos - 1, 0, cfg.n_text_ctx - 1)
+    last = tokens[rows, safe_pos][:, None]               # (B, 1)
+
+    logits, cache = decoder_step_ragged(
+        params, cfg, last, safe_pos, state["cache"], state["cross"])
+    nxt_model = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+
+    in_prompt = pos < state["forced_len"]
+    forced = tokens[rows, jnp.clip(pos, 0, tokens.shape[1] - 1)]
+    nxt = jnp.where(in_prompt, forced, nxt_model)
+
+    # write the generated token (forced region already holds its token)
+    write = jnp.logical_and(run, jnp.logical_not(in_prompt))
+    at = jnp.clip(pos, 0, tokens.shape[1] - 1)
+    tokens = tokens.at[rows, at].set(
+        jnp.where(write, nxt, tokens[rows, at]))
+
+    hit_cap = pos + 1 >= jnp.minimum(tokens.shape[1], cfg.n_text_ctx)
+    newly_finished = jnp.logical_and(
+        run, jnp.logical_or(jnp.logical_and(write, nxt == eot), hit_cap))
+    finished = jnp.logical_or(state["finished"], newly_finished)
+    pos = jnp.where(run, pos + 1, pos)
+
+    return {**state, "tokens": tokens, "pos": pos, "finished": finished,
+            "cache": cache}
+
+
+@dataclasses.dataclass
+class _Slot:
+    request_id: int
+    callback: Optional[Callable]
+
+
+class ContinuousBatcher:
+    """Slot-based continuous transcription engine (single-threaded driver:
+    call submit() / run_until_idle(); results are delivered to callbacks or
+    collected from run_until_idle's return)."""
+
+    def __init__(self, params, cfg: WhisperConfig | str, max_slots: int = 8,
+                 max_new: Optional[int] = None,
+                 tokenizer: Optional[Tokenizer] = None):
+        self.cfg = get_config(cfg) if isinstance(cfg, str) else cfg
+        assert not self.cfg.kv_cache_quant, \
+            "continuous batching uses the unquantized cache layout"
+        self.params = params
+        self.tokenizer = tokenizer or Tokenizer(config=self.cfg)
+        self.B = int(max_slots)
+        cfg = self.cfg
+        P = len(build_prompt(cfg))
+        self.total = min(cfg.n_text_ctx,
+                         P + 1 + (max_new or cfg.max_new_tokens))
+        cache = init_kv_cache(cfg, self.B,
+                              dtype=jnp.dtype(cfg.compute_dtype))
+        L, _, H, S, D = cache["k"].shape
+        zeros_cross = jnp.zeros(
+            (L, self.B, H, cfg.n_audio_ctx, D), jnp.dtype(cfg.compute_dtype))
+        self.state = {
+            "tokens": jnp.full((self.B, self.total), cfg.eot_token, jnp.int32),
+            "pos": jnp.zeros((self.B,), jnp.int32),
+            "forced_len": jnp.zeros((self.B,), jnp.int32),
+            "active": jnp.zeros((self.B,), bool),
+            "finished": jnp.zeros((self.B,), bool),
+            "cache": cache,
+            "cross": {"k": zeros_cross, "v": zeros_cross},
+        }
+        self._slots: list[Optional[_Slot]] = [None] * self.B
+        self._queue: list[tuple[int, np.ndarray, list[int], Optional[Callable]]] = []
+        self._next_id = 0
+        self._results: dict[int, list[int]] = {}
+
+    # ---- client API ----
+    def submit(self, audio: np.ndarray, language: str = "en",
+               task: str = "transcribe",
+               callback: Optional[Callable] = None) -> int:
+        """Queue a request; returns its id. Tokens are delivered via
+        callback(request_id, token_ids) and run_until_idle()'s dict."""
+        rid = self._next_id
+        self._next_id += 1
+        prompt = build_prompt(self.cfg, language, task)
+        self._queue.append((rid, np.asarray(audio, np.float32), prompt,
+                            callback))
+        return rid
+
+    # ---- engine ----
+    def _fill_free_slots(self) -> None:
+        cfg = self.cfg
+        for b in range(self.B):
+            if not self._queue:
+                return
+            if self._slots[b] is not None:
+                continue
+            rid, audio, prompt, cb = self._queue.pop(0)
+            wav = jnp.asarray(pad_or_trim(audio, cfg.n_samples))[None]
+            enc = encode(self.params, cfg, log_mel_spectrogram(wav, cfg))
+            cross1 = precompute_cross_kv(self.params, cfg, enc)
+            P = len(prompt)
+            row = np.full((self.total,), cfg.eot_token, np.int32)
+            row[:P] = prompt
+            s = self.state
+            self.state = {
+                **s,
+                "tokens": s["tokens"].at[b].set(jnp.asarray(row)),
+                "pos": s["pos"].at[b].set(1),          # SOT consumed as last
+                "forced_len": s["forced_len"].at[b].set(P),
+                "active": s["active"].at[b].set(True),
+                "finished": s["finished"].at[b].set(False),
+                "cache": jax.tree.map(lambda a: a.at[:, b].set(0), s["cache"]),
+                "cross": jax.tree.map(
+                    lambda a, n: a.at[:, b].set(n[:, 0].astype(a.dtype)),
+                    s["cross"], cross1),
+            }
+            self._slots[b] = _Slot(rid, cb)
+
+    def _harvest(self) -> None:
+        finished = np.asarray(self.state["finished"])
+        if not finished.any():
+            return
+        pos = np.asarray(self.state["pos"])
+        tokens = np.asarray(self.state["tokens"])
+        s = self.state
+        for b in range(self.B):
+            slot = self._slots[b]
+            if slot is None or not finished[b]:
+                continue
+            ids = tokens[b, :pos[b]].tolist()
+            self._results[slot.request_id] = ids
+            if slot.callback:
+                slot.callback(slot.request_id, ids)
+            self._slots[b] = None
+            s = {**s, "active": s["active"].at[b].set(False),
+                 "finished": s["finished"].at[b].set(False)}
+        self.state = s
+
+    def step(self) -> None:
+        """Fill slots, run one lockstep token, harvest EOTs."""
+        self._fill_free_slots()
+        self.state = _engine_step(self.params, self.cfg, self.state)
+        self._harvest()
+
+    def run_until_idle(self, max_steps: int = 100_000) -> dict[int, list[int]]:
+        """Drive until queue and slots are empty; returns {request_id: ids}."""
+        steps = 0
+        while (self._queue or any(s is not None for s in self._slots)) \
+                and steps < max_steps:
+            self.step()
+            steps += 1
+        return dict(self._results)
+
+    def decode_text(self, rid: int) -> str:
+        return self.tokenizer.decode(self._results[rid])
