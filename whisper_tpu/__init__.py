@@ -29,6 +29,8 @@ _LAZY = {
     # Lazy imports keep `import whisper_tpu` cheap (these pull in jax).
     "WhisperPipeline": ("whisper_tpu.pipeline", "WhisperPipeline"),
     "BatchedTranscriber": ("whisper_tpu.serving", "BatchedTranscriber"),
+    "ContinuousBatcher": ("whisper_tpu.serving_continuous",
+                          "ContinuousBatcher"),
     "ShardedPipeline": ("whisper_tpu.parallel.inference", "ShardedPipeline"),
     "Tokenizer": ("whisper_tpu.tokenizer", "Tokenizer"),
     "DecodeOptions": ("whisper_tpu.decode_rules", "DecodeOptions"),

@@ -210,13 +210,17 @@ class WhisperPipeline:
                    initial_prompt: Optional[str] = None,
                    word_timestamps: bool = False,
                    no_speech_threshold: Optional[float] = None) -> Transcription:
-        """Long-form: sliding non-overlapping 30 s windows, optionally
-        conditioning each window on the previous window's text via the
-        <|startofprev|> prompt mechanism (capability extension; the
-        reference hard-caps input at one window, export_weights.py:112-114)."""
+        """Long-form: sliding 30 s windows, optionally conditioning each
+        window on the previous window's text via <|startofprev|>
+        (capability extension; the reference hard-caps input at one window,
+        export_weights.py:112-114).
+
+        With timestamp decoding active, windows advance by the last *closed*
+        segment's end time (openai/whisper seek semantics) instead of a
+        fixed 30 s — audio cut mid-sentence is retried at the next window's
+        start rather than lost."""
         cfg = self.cfg
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
-        n_win = max(1, -(-len(audio) // cfg.n_samples))
         texts, all_ids = [], []
         all_words: list = []
         all_segments: list = []
@@ -224,15 +228,18 @@ class WhisperPipeline:
         prev: tuple = (tuple(self.tokenizer.encode_greedy(initial_prompt))
                        if initial_prompt else ())
         timings = {"mel_s": 0.0, "decode_s": 0.0, "detok_s": 0.0, "total_s": 0.0}
-        for w in range(n_win):
-            chunk = audio[w * cfg.n_samples:(w + 1) * cfg.n_samples]
+        seek = 0
+        use_seek = bool(opts and opts.timestamps)
+        while seek < max(len(audio), 1):
+            offset_s = seek / cfg.sample_rate
+            chunk = audio[seek:seek + cfg.n_samples]
             r = self.transcribe_window(
                 chunk, language, task, max_new=max_new,
                 opts=opts, prev_tokens=prev,
                 fallback_temperatures=fallback_temperatures,
                 no_speech_threshold=no_speech_threshold,
                 word_timestamps=word_timestamps,
-                window_offset_s=w * cfg.chunk_length_s)
+                window_offset_s=offset_s)
             texts.append(r.text)
             all_ids.extend(r.tokens)
             if r.words:
@@ -245,6 +252,16 @@ class WhisperPipeline:
                 prev = tuple(gen[-(cfg.n_text_ctx // 2 - 8):])
             for k in timings:
                 timings[k] += r.timings[k]
+            advance_s = float(cfg.chunk_length_s)
+            if use_seek and r.segments:
+                last_end = r.segments[-1].get("end")
+                if last_end is not None:
+                    # closed final segment: resume exactly there (min 1 s
+                    # forward progress guards degenerate predictions)
+                    advance_s = max(last_end - offset_s, 1.0)
+            seek += int(round(advance_s * cfg.sample_rate))
+            if len(chunk) < cfg.n_samples:
+                break                       # that was the final window
         return Transcription(text="".join(texts), tokens=all_ids,
                              timings=timings,
                              words=all_words or None,
