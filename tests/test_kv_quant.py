@@ -69,6 +69,49 @@ def test_quantized_cache_structure(small_cfg):
     assert cache["k_s"].shape == cache["k"].shape[:-1] + (1,)
 
 
+def test_q8_kernel_matches_dequantized_reference():
+    """Fused int8 decode kernel (interpret) vs dequantize-then-reference."""
+    from whisper_tpu.ops.attention import mha_reference
+    from whisper_tpu.ops.decode_attention import decode_attention_q8
+
+    rng = np.random.RandomState(5)
+    B, S, H, D = 2, 448, 3, 64
+    q = jnp.asarray(rng.randn(B, 1, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    kd = dequantize_kv(kq, ks, jnp.float32)
+    vd = dequantize_kv(vq, vs, jnp.float32)
+    for kv_len in (1, 93, 448):
+        ref = mha_reference(q, kd, vd, kv_len)
+        out = decode_attention_q8(q, kq, ks, vq, vs, kv_len, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5,
+                                   err_msg=f"kv_len={kv_len}")
+
+
+def test_quant_dispatch_interpret_backend(small_cfg):
+    """multi_head_attention_quant routes T==1 to the fused kernel under
+    pallas_interpret and matches the dequantized path."""
+    from whisper_tpu.ops.attention import (
+        multi_head_attention_quant,
+        mha_reference,
+    )
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(1, 1, 2, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 128, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 128, 64), jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    ref = mha_reference(q, dequantize_kv(kq, ks, jnp.float32),
+                        dequantize_kv(vq, vs, jnp.float32), 50)
+    out = multi_head_attention_quant(q, kq, ks, vq, vs, 50,
+                                     backend="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_quantized_end_to_end_decode(small_cfg):
     cfg = small_cfg.replace(kv_cache_quant=True)
     params = init_params(cfg, jax.random.PRNGKey(0))

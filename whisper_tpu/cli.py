@@ -64,6 +64,8 @@ def main(argv=None) -> int:
                                                "json"], default="text")
     p.add_argument("--output", help="write the formatted transcript here "
                    "(default: stdout)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache (fused dequant kernel on TPU)")
     p.add_argument("--seed", type=int, default=0, help="sampling seed")
     args = p.parse_args(argv)
 
@@ -72,12 +74,14 @@ def main(argv=None) -> int:
     from whisper_tpu.tokenizer import Tokenizer, build_prompt
 
     cfg = get_config(args.model)
+    if args.kv_quant:
+        cfg = cfg.replace(kv_cache_quant=True)
     if args.flat_bin:
-        pipe = WhisperPipeline.from_flat_bin(args.flat_bin, args.model, args.vocab)
+        pipe = WhisperPipeline.from_flat_bin(args.flat_bin, cfg, args.vocab)
     elif args.weights:
-        pipe = WhisperPipeline.from_npz(args.weights, args.model)
+        pipe = WhisperPipeline.from_npz(args.weights, cfg)
     elif args.random_weights:
-        pipe = WhisperPipeline.from_random(args.model)
+        pipe = WhisperPipeline.from_random(cfg)
     else:
         p.error("need one of --weights / --flat-bin / --random-weights")
 

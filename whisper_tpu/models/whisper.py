@@ -35,7 +35,10 @@ import jax
 import jax.numpy as jnp
 
 from whisper_tpu.config import WhisperConfig
-from whisper_tpu.ops.attention import multi_head_attention
+from whisper_tpu.ops.attention import (
+    multi_head_attention,
+    multi_head_attention_quant,
+)
 
 Params = Any    # nested dict pytree
 HIGHEST = jax.lax.Precision.HIGHEST
@@ -243,6 +246,21 @@ def _maybe_dequant(entry: dict, name: str, dtype) -> jax.Array:
     return entry[name].astype(dtype)
 
 
+def _cache_attention(q: jax.Array, entry: dict, kv_len, *,
+                     causal: bool, q_offset, cfg: WhisperConfig,
+                     dtype) -> jax.Array:
+    """Attention over a (possibly int8-quantized) cache slice. The
+    quantized route keeps int8 all the way into the Pallas decode kernel
+    (dequant in VMEM); the plain route dispatches normally."""
+    if "k_s" in entry:
+        return multi_head_attention_quant(
+            q, entry["k"], entry["k_s"], entry["v"], entry["v_s"], kv_len,
+            causal=causal, q_offset=q_offset, backend=cfg.attn_backend)
+    return multi_head_attention(
+        q, entry["k"].astype(dtype), entry["v"].astype(dtype), kv_len,
+        causal=causal, q_offset=q_offset, backend=cfg.attn_backend)
+
+
 def init_kv_cache(cfg: WhisperConfig, batch: int,
                   dtype=jnp.float32) -> dict[str, jax.Array]:
     """Fixed-shape self-attention cache, head-major (replaces reference
@@ -338,19 +356,17 @@ def decoder_forward(params: Params, cfg: WhisperConfig,
         q, k_new, v_new = qkv_fused(y, lp["attn"], cfg.n_heads)
         cache_l = append(cache_l, "k", k_new)
         cache_l = append(cache_l, "v", v_new)
-        a = merge_heads(multi_head_attention(
-            q, _maybe_dequant(cache_l, "k", dtype),
-            _maybe_dequant(cache_l, "v", dtype), kv_len,
-            causal=True, q_offset=pos_offset, backend=cfg.attn_backend))
+        a = merge_heads(_cache_attention(
+            q, cache_l, kv_len, causal=True, q_offset=pos_offset,
+            cfg=cfg, dtype=dtype))
         h = r + linear(a, lp["attn"]["o"])
         # --- cross attention over precomputed encoder K/V ---
         r = h
         y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"], cfg.ln_eps)
         q = split_heads(linear(y, lp["cross_attn"]["q"]), cfg.n_heads)
-        a = merge_heads(multi_head_attention(
-            q, _maybe_dequant(cross_l, "k", dtype),
-            _maybe_dequant(cross_l, "v", dtype),
-            backend=cfg.attn_backend))
+        a = merge_heads(_cache_attention(
+            q, cross_l, None, causal=False, q_offset=0,
+            cfg=cfg, dtype=dtype))
         h = r + linear(a, lp["cross_attn"]["o"])
         # --- MLP ---
         r = h

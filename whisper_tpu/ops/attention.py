@@ -109,6 +109,36 @@ def multi_head_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                            interpret=interpret)
 
 
+def multi_head_attention_quant(q: jax.Array,
+                               k: jax.Array, k_scale: jax.Array,
+                               v: jax.Array, v_scale: jax.Array,
+                               kv_len=None, *,
+                               causal: bool = False, q_offset=0,
+                               backend: Optional[str] = None) -> jax.Array:
+    """Attention over an int8 KV cache (values + per-vector fp32 scales).
+
+    On TPU the q_len==1 path uses the fused Pallas kernel that dequantizes
+    in VMEM after the half-bandwidth int8 transfer; everywhere else (CPU,
+    prefill) the cache is dequantized and routed through the standard
+    dispatch — XLA materializes the fp32 cache there, which is why the
+    kernel exists."""
+    backend = backend or default_backend()
+    T = q.shape[1]
+    ragged = (kv_len is not None and jnp.ndim(kv_len) >= 1) or \
+        jnp.ndim(q_offset) >= 1
+    if T == 1 and not ragged and backend in ("auto", "pallas",
+                                             "pallas_interpret"):
+        if backend == "pallas_interpret" or jax.default_backend() == "tpu":
+            from whisper_tpu.ops.decode_attention import decode_attention_q8
+            return decode_attention_q8(
+                q, k, k_scale, v, v_scale, kv_len,
+                interpret=backend == "pallas_interpret")
+    kd = (k.astype(jnp.float32) * k_scale).astype(q.dtype)
+    vd = (v.astype(jnp.float32) * v_scale).astype(q.dtype)
+    return multi_head_attention(q, kd, vd, kv_len, causal=causal,
+                                q_offset=q_offset, backend=backend)
+
+
 def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array,
                   kv_len=None, *, causal: bool = False, q_offset=0,
                   precision=jax.lax.Precision.HIGHEST) -> jax.Array:

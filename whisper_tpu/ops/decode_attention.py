@@ -33,7 +33,7 @@ _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _decode_kernel(info_ref, q_ref, k_ref, v_ref, o_ref,
                    m_s, l_s, acc_s, *, block_k: int, scale: float, prec):
-    """One (batch, head, kv-tile) step.
+    """One (batch, head, kv-tile) step (see also _decode_kernel_q8).
 
     info_ref: SMEM (1,) int32 = [kv_len] (scalar-prefetched).
     q_ref: VMEM (1, 1, 1, D) — this (b, h)'s query row (same tile for all j).
@@ -75,6 +75,48 @@ def _decode_kernel(info_ref, q_ref, k_ref, v_ref, o_ref,
 
     # Constant output tile index across j => the store is flushed once per
     # (b, h); writing every step avoids a branch.
+    o_ref[0, 0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
+
+
+def _decode_kernel_q8(info_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+                      m_s, l_s, acc_s, *, block_k: int, scale: float):
+    """int8-cache variant: K/V tiles arrive as int8 + per-row fp32 scales
+    and are dequantized IN VMEM after the (half-sized) HBM transfer — the
+    bandwidth saving the XLA formulation can't get (it materializes the
+    dequantized cache in HBM first). The quantized-paged-attention recipe
+    from the TPU kernel playbook, minus paging."""
+    j = pl.program_id(2)
+    kv_len = info_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, _MASK_VALUE)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(j * block_k < kv_len)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32) * scale      # (1, D)
+        kb = k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0]   # (bk, D)
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (1, block_k)
+        k_pos = (j * block_k
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1))
+        s = jnp.where(k_pos < kv_len, s, _MASK_VALUE)
+
+        m_prev, l_prev = m_s[...], l_s[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        m_s[...] = m_new
+        l_s[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        vb = v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0]
+        pv = jax.lax.dot_general(
+            p, vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (1, D)
+        acc_s[...] = acc_s[...] * alpha + pv
+
     o_ref[0, 0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
 
 
@@ -152,3 +194,76 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     )(info, q4, k, v)
 
     return jnp.transpose(out, (0, 2, 1, 3))              # (B, 1, H, D)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def decode_attention_q8(q: jax.Array,
+                        k: jax.Array, k_scale: jax.Array,
+                        v: jax.Array, v_scale: jax.Array,
+                        kv_len=None, *, block_k: int = 128,
+                        interpret: bool = False) -> jax.Array:
+    """Single-token attention over an int8 KV cache with per-vector scales;
+    dequantization happens in VMEM after the half-bandwidth HBM transfer.
+
+    Args:
+      q: (B, 1, H, D).
+      k, v: (B, H, S_max, D) int8; k_scale, v_scale: (B, H, S_max, 1) fp32.
+      kv_len: scalar int32 valid length.
+    Returns:
+      (B, 1, H, D) in q.dtype.
+    """
+    B, T, H, D = q.shape
+    assert T == 1
+    S = k.shape[2]
+    if kv_len is None:
+        kv_len = S
+    scale = D ** -0.5
+
+    s_pad = _round_up(S, block_k)
+    if s_pad != S:
+        pad4 = ((0, 0), (0, 0), (0, s_pad - S), (0, 0))
+        k = jnp.pad(k, pad4)
+        v = jnp.pad(v, pad4)
+        k_scale = jnp.pad(k_scale, pad4)
+        v_scale = jnp.pad(v_scale, pad4)
+    num_kv_tiles = s_pad // block_k
+
+    q4 = jnp.transpose(q, (0, 2, 1, 3))
+    info = jnp.asarray(kv_len, jnp.int32).reshape(1)
+
+    def kv_index(b, h, j, info_ref):
+        last = jnp.maximum(pl.cdiv(info_ref[0], block_k) - 1, 0)
+        return (b, h, jnp.minimum(j, last), 0)
+
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_q8, block_k=block_k, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, num_kv_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, D), lambda b, h, j, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, block_k, D), kv_index),
+                pl.BlockSpec((1, 1, block_k, 1), kv_index),
+                pl.BlockSpec((1, 1, block_k, D), kv_index),
+                pl.BlockSpec((1, 1, block_k, 1), kv_index),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 1, D),
+                                   lambda b, h, j, *_: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((1, 1), jnp.float32),
+                pltpu.VMEM((1, 1), jnp.float32),
+                pltpu.VMEM((1, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S * D,
+            bytes_accessed=2 * B * H * S * (D + 4),
+            transcendentals=B * H * S,
+        ),
+        interpret=interpret,
+    )(info, q4, k, k_scale, v, v_scale)
+
+    return jnp.transpose(out, (0, 2, 1, 3))

@@ -68,28 +68,28 @@ class WhisperPipeline:
         self.params = params
         self.tokenizer = tokenizer or Tokenizer(config=self.cfg)
 
-    # ---- constructors ----
+    # ---- constructors (model: family name or a full WhisperConfig) ----
     @classmethod
-    def from_flat_bin(cls, path: str, model: str = "tiny",
+    def from_flat_bin(cls, path: str, model="tiny",
                       vocab_path: Optional[str] = None) -> "WhisperPipeline":
         """Load a reference-format headerless fp32 weight blob
         (SURVEY.md §2.5 contract)."""
-        cfg = get_config(model)
+        cfg = get_config(model) if isinstance(model, str) else model
         params = weights_lib.from_flat_bin_path(path, cfg)
         return cls(cfg, weights_lib.to_device(params),
                    Tokenizer(vocab_path, config=cfg))
 
     @classmethod
-    def from_npz(cls, path: str, model: str = "tiny") -> "WhisperPipeline":
-        cfg = get_config(model)
+    def from_npz(cls, path: str, model="tiny") -> "WhisperPipeline":
+        cfg = get_config(model) if isinstance(model, str) else model
         params = weights_lib.load_npz(path, cfg)
         return cls(cfg, weights_lib.to_device(params))
 
     @classmethod
-    def from_random(cls, model: str = "tiny", seed: int = 0) -> "WhisperPipeline":
+    def from_random(cls, model="tiny", seed: int = 0) -> "WhisperPipeline":
         """Random weights — for benchmarks and tests without checkpoints."""
         from whisper_tpu.models.whisper import init_params
-        cfg = get_config(model)
+        cfg = get_config(model) if isinstance(model, str) else model
         return cls(cfg, init_params(cfg, jax.random.PRNGKey(seed)))
 
     # ---- decode options ----
