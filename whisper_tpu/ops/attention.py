@@ -124,15 +124,24 @@ def multi_head_attention_quant(q: jax.Array,
     kernel exists."""
     backend = backend or default_backend()
     T = q.shape[1]
+    S = k.shape[2]
     ragged = (kv_len is not None and jnp.ndim(kv_len) >= 1) or \
         jnp.ndim(q_offset) >= 1
-    if T == 1 and not ragged and backend in ("auto", "pallas",
-                                             "pallas_interpret"):
-        if backend == "pallas_interpret" or jax.default_backend() == "tpu":
-            from whisper_tpu.ops.decode_attention import decode_attention_q8
-            return decode_attention_q8(
-                q, k, k_scale, v, v_scale, kv_len,
-                interpret=backend == "pallas_interpret")
+    # The fused kernel is gated on cache length like the fp32 kernel: per-
+    # (batch, head) program overhead swamps the bandwidth saving at Whisper
+    # cache sizes (measured: b32 tiny regresses 4371 -> 667 RTFx when
+    # forced). Below the threshold int8 remains a memory-capacity feature
+    # via the dequantize-then-XLA route.
+    use_kernel = (T == 1 and not ragged
+                  and (backend == "pallas_interpret"
+                       or (backend in ("auto", "pallas")
+                           and S >= _DECODE_PALLAS_MIN_S
+                           and jax.default_backend() == "tpu")))
+    if use_kernel:
+        from whisper_tpu.ops.decode_attention import decode_attention_q8
+        return decode_attention_q8(
+            q, k, k_scale, v, v_scale, kv_len,
+            interpret=backend == "pallas_interpret")
     kd = (k.astype(jnp.float32) * k_scale).astype(q.dtype)
     vd = (v.astype(jnp.float32) * v_scale).astype(q.dtype)
     return multi_head_attention(q, kd, vd, kv_len, causal=causal,
