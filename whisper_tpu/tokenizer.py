@@ -77,6 +77,13 @@ class Tokenizer:
             self.tokens: list[str] = f.read().split("\n")
         if self.tokens and self.tokens[-1] == "":
             self.tokens.pop()
+        if config is not None and len(self.tokens) < config.vocab_size:
+            # the bundled table is the 51,865-token multilingual vocab;
+            # .en and large-v3 variants need their own vocab.txt
+            raise ValueError(
+                f"vocab table at {path} has {len(self.tokens)} entries but "
+                f"model {config.name!r} needs {config.vocab_size}; pass the "
+                f"matching vocab via --vocab / vocab_path")
 
     @property
     def vocab_size(self) -> int:

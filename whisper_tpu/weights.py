@@ -33,8 +33,8 @@ Params = Any
 # HF state_dict -> pytree
 # ---------------------------------------------------------------------------
 
-def _lin(get: Callable[[str], np.ndarray], prefix: str, has_bias: bool = True,
-         d_out: int | None = None) -> dict:
+def _lin(get: Callable[[str], np.ndarray], prefix: str,
+         has_bias: bool = True) -> dict:
     w = get(prefix + ".weight")          # (out, in)
     b = get(prefix + ".bias") if has_bias else np.zeros((w.shape[0],), np.float32)
     return {"w": np.ascontiguousarray(w.T), "b": b}
@@ -146,7 +146,13 @@ def from_flat_bin_path(path: str, cfg: WhisperConfig) -> Params:
     (the reference's loader reads + bitcasts the whole file, loader.mojo:10)."""
     from whisper_tpu.native import MappedWeights
     with MappedWeights(path) as m:
-        return from_flat_bin(m.floats, cfg)
+        try:
+            return from_flat_bin(m.floats, cfg)
+        except ValueError as e:
+            raise ValueError(
+                f"{path} does not match the {cfg.name!r} layout ({e}). "
+                f"The flat-bin format is positional — pass the --model the "
+                f"file was exported for.") from None
 
 
 def from_flat_bin(data, cfg: WhisperConfig) -> Params:
