@@ -76,6 +76,19 @@ def test_callbacks_fire(nano):
     assert got == out
 
 
+def test_streaming_tokens_match_final(nano):
+    """on_token streams exactly the generated suffix, in order."""
+    cfg, params = nano
+    eng = ContinuousBatcher(params, cfg, max_slots=2, max_new=5)
+    streamed: list[int] = []
+    rid = eng.submit(_audio(11),
+                     on_token=lambda r, t: streamed.append(t))
+    out = eng.run_until_idle()
+    P = 4                               # [sot, lang, task, notimestamps]
+    assert streamed == out[rid][P:]
+    assert len(streamed) >= 1
+
+
 def test_cap_terminates(nano):
     """Even when the model never emits EOT (random weights may not), the
     per-request cap finishes every slot."""

@@ -89,6 +89,8 @@ def _engine_step(params, cfg: WhisperConfig, state):
 class _Slot:
     request_id: int
     callback: Optional[Callable]
+    on_token: Optional[Callable] = None
+    emitted: int = 0                 # tokens already streamed
 
 
 class ContinuousBatcher:
@@ -131,14 +133,17 @@ class ContinuousBatcher:
     # ---- client API ----
     def submit(self, audio: np.ndarray, language: str = "en",
                task: str = "transcribe",
-               callback: Optional[Callable] = None) -> int:
-        """Queue a request; returns its id. Tokens are delivered via
-        callback(request_id, token_ids) and run_until_idle()'s dict."""
+               callback: Optional[Callable] = None,
+               on_token: Optional[Callable] = None) -> int:
+        """Queue a request; returns its id. Final tokens are delivered via
+        callback(request_id, token_ids) and run_until_idle()'s dict;
+        on_token(request_id, token_id) streams each generated token as it
+        is committed (partial-result streaming)."""
         rid = self._next_id
         self._next_id += 1
         prompt = build_prompt(self.cfg, language, task)
         self._queue.append((rid, np.asarray(audio, np.float32), prompt,
-                            callback))
+                            callback, on_token))
         return rid
 
     # ---- engine ----
@@ -149,7 +154,7 @@ class ContinuousBatcher:
                 return
             if self._slots[b] is not None:
                 continue
-            rid, audio, prompt, cb = self._queue.pop(0)
+            rid, audio, prompt, cb, on_tok = self._queue.pop(0)
             wav = jnp.asarray(pad_or_trim(audio, cfg.n_samples))[None]
             enc = encode(self.params, cfg, log_mel_spectrogram(wav, cfg))
             cross1 = precompute_cross_kv(self.params, cfg, enc)
@@ -169,7 +174,21 @@ class ContinuousBatcher:
                     lambda a, n: a.at[:, b].set(n[:, 0].astype(a.dtype)),
                     s["cross"], cross1),
             }
-            self._slots[b] = _Slot(rid, cb)
+            self._slots[b] = _Slot(rid, cb, on_tok, emitted=P)
+
+    def _stream(self) -> None:
+        """Emit newly committed tokens to per-request on_token callbacks."""
+        if not any(s is not None and s.on_token for s in self._slots):
+            return
+        pos = np.asarray(self.state["pos"])
+        tokens = np.asarray(self.state["tokens"])
+        for b in range(self.B):
+            slot = self._slots[b]
+            if slot is None or slot.on_token is None:
+                continue
+            while slot.emitted < pos[b]:
+                slot.on_token(slot.request_id, int(tokens[b, slot.emitted]))
+                slot.emitted += 1
 
     def _harvest(self) -> None:
         finished = np.asarray(self.state["finished"])
@@ -192,9 +211,10 @@ class ContinuousBatcher:
         self.state = s
 
     def step(self) -> None:
-        """Fill slots, run one lockstep token, harvest EOTs."""
+        """Fill slots, run one lockstep token, stream, harvest EOTs."""
         self._fill_free_slots()
         self.state = _engine_step(self.params, self.cfg, self.state)
+        self._stream()
         self._harvest()
 
     def run_until_idle(self, max_steps: int = 100_000) -> dict[int, list[int]]:
