@@ -107,6 +107,34 @@ def test_dispatcher_selects_kernels():
                                atol=2e-5, rtol=1e-5)
 
 
+def test_flash_bf16_inputs():
+    """bf16 q/k/v take the fast-dot path; output stays close to the fp32
+    reference within bf16 tolerance."""
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(1, 64, 2, 64), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(1, 2, 128, 64), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(1, 2, 128, 64), jnp.bfloat16)
+    ref = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                        v.astype(jnp.float32))
+    out = flash_attention(q, k, v, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), atol=0.05, rtol=0.05)
+
+
+def test_decode_bf16_inputs():
+    rng = np.random.RandomState(8)
+    q = jnp.asarray(rng.randn(2, 1, 2, 64), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(2, 2, 128, 64), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(2, 2, 128, 64), jnp.bfloat16)
+    ref = mha_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                        v.astype(jnp.float32), 77)
+    out = decode_attention(q, k, v, 77, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), atol=0.05, rtol=0.05)
+
+
 def test_model_end_to_end_with_interpret_kernels(small_cfg):
     """Full greedy decode with Pallas kernels (interpret) must produce the
     same tokens as the XLA reference backend."""

@@ -141,7 +141,6 @@ class BatchedTranscriber:
             n = len(batch)
             B = self.max_batch
             audio = np.zeros((B, cfg.n_samples), np.float32)
-            prompts = np.zeros((B, 0), np.int32)
             prompt_rows = []
             for r in batch:
                 prompt_rows.append(build_prompt(cfg, r.language, r.task,
