@@ -57,6 +57,23 @@ def test_cross_attention_weights_shape(small_cfg):
     np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-4)   # rows are probs
 
 
+def test_word_timestamps_skips_prev_conditioning_text(small_cfg, tiny_cfg):
+    """Text tokens inside a <|startofprev|> prompt must not be aligned."""
+    cfg = small_cfg
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, cfg.n_mels, cfg.n_frames)) * 0.5
+    enc = encoder_forward(params, cfg, mel)
+    tok = Tokenizer(config=tiny_cfg)
+    prev = tok.encode_greedy(" previous window text")
+    gen = tok.encode_greedy(" actual output")
+    prompt = build_prompt(cfg, prev_tokens=prev)
+    tokens = prompt + gen + [cfg.eot_token]
+    words = word_timestamps(params, cfg, tok, tokens, enc,
+                            audio_seconds=5.0, prompt_len=len(prompt))
+    assert "".join(w.word for w in words) == " actual output"
+
+
 def test_word_timestamps_end_to_end(small_cfg, tiny_cfg):
     """Structural checks on real (random-weight) attention: monotone
     non-negative times within the audio window, words reassemble the text."""

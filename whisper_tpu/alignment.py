@@ -163,7 +163,8 @@ def word_timestamps(params, cfg: WhisperConfig, tokenizer,
                     tokens: Sequence[int], enc_out: jax.Array,
                     audio_seconds: float = 30.0,
                     alignment_heads: Optional[Sequence[tuple[int, int]]] = None,
-                    medfilt_width: int = 7) -> list[WordTiming]:
+                    medfilt_width: int = 7,
+                    prompt_len: int = 0) -> list[WordTiming]:
     """Word timings for one decoded sequence.
 
     Args:
@@ -173,6 +174,10 @@ def word_timestamps(params, cfg: WhisperConfig, tokenizer,
         are excluded from alignment.
       alignment_heads: explicit (layer, head) pairs; default = all heads of
         the upper half of decoder layers.
+      prompt_len: positions before this index are never aligned — necessary
+        when the prompt carries <|startofprev|> *text* tokens (previous-
+        window conditioning), which would otherwise be mistaken for
+        transcript text.
     """
     tokens = [int(t) for t in tokens]
     tok_arr = jnp.asarray([tokens], jnp.int32)
@@ -190,8 +195,10 @@ def word_timestamps(params, cfg: WhisperConfig, tokenizer,
     sel = median_filter(sel, medfilt_width)
     matrix = sel.mean(axis=0)                                  # (T, n_frames)
 
-    # align only text positions (skip prompt specials; stop at EOT)
-    is_text = [(i, t) for i, t in enumerate(tokens) if t < cfg.eot_token]
+    # align only generated text positions (skip the prompt — including any
+    # <|startofprev|> conditioning text — and specials)
+    is_text = [(i, t) for i, t in enumerate(tokens)
+               if i >= prompt_len and t < cfg.eot_token]
     if not is_text:
         return []
     text_pos = [i for i, _ in is_text]

@@ -186,7 +186,8 @@ class WhisperPipeline:
             from whisper_tpu.alignment import word_timestamps as _align
             secs = min(len(audio) / cfg.sample_rate, cfg.chunk_length_s)
             words = _align(self.params, cfg, self.tokenizer, ids, enc_out,
-                           audio_seconds=max(secs, 1.0))
+                           audio_seconds=max(secs, 1.0),
+                           prompt_len=prompt.shape[1])
             for w in words:
                 w.start += window_offset_s
                 w.end += window_offset_s
