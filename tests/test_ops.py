@@ -62,16 +62,20 @@ def test_flash_kv_len_masks_tail():
 
 
 def test_decode_attention_matches_reference():
-    """q_len==1 streaming kernel over a padded cache at several lengths."""
+    """q_len==1 streaming kernels over a padded cache at several lengths —
+    both the per-(b,h) grid and the batched-heads production variant."""
+    from whisper_tpu.ops.decode_attention import decode_attention_bh
+
     rng = np.random.RandomState(3)
     B, S, H, D = 2, 448, 3, 64
     q, k, v = _qkv(rng, B, 1, S, H, D)
     for kv_len in (1, 37, 128, 129, 448):
         ref = mha_reference(q, k, v, kv_len)
-        out = decode_attention(q, k, v, kv_len, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=2e-5, rtol=1e-5,
-                                   err_msg=f"kv_len={kv_len}")
+        for fn in (decode_attention, decode_attention_bh):
+            out = fn(q, k, v, kv_len, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5,
+                err_msg=f"{fn.__name__} kv_len={kv_len}")
 
 
 def test_decode_attention_ignores_poisoned_tail():
