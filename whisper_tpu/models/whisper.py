@@ -411,6 +411,8 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
     Returns:
       logits (B, 1, vocab) fp32, updated kv_cache.
     """
+    assert "k_s" not in kv_cache, \
+        "decoder_step_ragged uses the unquantized cache layout"
     dec = params["decoder"]
     dtype = jnp.dtype(cfg.compute_dtype)
     B = tokens1.shape[0]
