@@ -70,9 +70,13 @@ def test_quantized_cache_structure(small_cfg):
 
 
 def test_q8_kernel_matches_dequantized_reference():
-    """Fused int8 decode kernel (interpret) vs dequantize-then-reference."""
+    """Fused int8 decode kernels (interpret) vs dequantize-then-reference —
+    both the per-(b,h) grid and the batched-heads production variant."""
     from whisper_tpu.ops.attention import mha_reference
-    from whisper_tpu.ops.decode_attention import decode_attention_q8
+    from whisper_tpu.ops.decode_attention import (
+        decode_attention_q8,
+        decode_attention_q8_bh,
+    )
 
     rng = np.random.RandomState(5)
     B, S, H, D = 2, 448, 3, 64
@@ -85,10 +89,11 @@ def test_q8_kernel_matches_dequantized_reference():
     vd = dequantize_kv(vq, vs, jnp.float32)
     for kv_len in (1, 93, 448):
         ref = mha_reference(q, kd, vd, kv_len)
-        out = decode_attention_q8(q, kq, ks, vq, vs, kv_len, interpret=True)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=2e-5, rtol=1e-5,
-                                   err_msg=f"kv_len={kv_len}")
+        for fn in (decode_attention_q8, decode_attention_q8_bh):
+            out = fn(q, kq, ks, vq, vs, kv_len, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5,
+                err_msg=f"{fn.__name__} kv_len={kv_len}")
 
 
 def test_quant_dispatch_interpret_backend(small_cfg):

@@ -85,15 +85,26 @@ def main(argv=None) -> int:
     else:
         p.error("need one of --weights / --flat-bin / --random-weights")
 
+    mel_opts = None
+    if args.beam > 1 or args.temperature > 0 or args.timestamps \
+            or args.suppress_nonspeech:
+        mel_opts = pipe.make_options(
+            timestamps=args.timestamps,
+            suppress_nonspeech=args.suppress_nonspeech,
+            temperature=args.temperature, beam_size=args.beam)
+
     if args.mel:
         mel = np.fromfile(args.mel, dtype="<f4").reshape(cfg.n_mels, cfg.n_frames)
         from whisper_tpu.decode import transcribe_tokens
         import time
-        prompt = jnp.asarray([build_prompt(cfg, args.language, args.task)],
-                             jnp.int32)
+        prompt = jnp.asarray(
+            [build_prompt(cfg, args.language, args.task,
+                          timestamps=args.timestamps)], jnp.int32)
+        rng = (jax.random.PRNGKey(args.seed) if args.temperature > 0 else None)
         t0 = time.perf_counter()
         res = transcribe_tokens(pipe.params, cfg, jnp.asarray(mel)[None], prompt,
-                                max_new=args.max_new)
+                                max_new=args.max_new, opts=mel_opts,
+                                beam_size=args.beam, rng=rng)
         res.tokens.block_until_ready()
         dt = time.perf_counter() - t0
         n = int(res.lengths[0])
@@ -108,13 +119,7 @@ def main(argv=None) -> int:
     if not args.audio:
         p.error("need --audio or --mel")
     from whisper_tpu.native import load_audio
-    opts = None
-    if (args.beam > 1 or args.temperature > 0 or args.timestamps
-            or args.suppress_nonspeech):
-        opts = pipe.make_options(
-            timestamps=args.timestamps,
-            suppress_nonspeech=args.suppress_nonspeech,
-            temperature=args.temperature, beam_size=args.beam)
+    opts = mel_opts
     wav = load_audio(args.audio, cfg.sample_rate)
     r = pipe.transcribe(wav, args.language, args.task, max_new=args.max_new,
                         opts=opts,

@@ -141,8 +141,8 @@ def multi_head_attention_quant(q: jax.Array,
                            and S >= _DECODE_PALLAS_MIN_S
                            and jax.default_backend() == "tpu")))
     if use_kernel:
-        from whisper_tpu.ops.decode_attention import decode_attention_q8
-        return decode_attention_q8(
+        from whisper_tpu.ops.decode_attention import decode_attention_q8_bh
+        return decode_attention_q8_bh(
             q, k, k_scale, v, v_scale, kv_len,
             interpret=backend == "pallas_interpret")
     kd = (k.astype(jnp.float32) * k_scale).astype(q.dtype)

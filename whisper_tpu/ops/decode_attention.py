@@ -317,6 +317,115 @@ def decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return jnp.transpose(out, (0, 2, 1, 3))              # (B, 1, H, D)
 
 
+def _decode_kernel_q8_bh(info_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+                         o_ref, m_s, l_s, acc_s, *, block_k: int,
+                         scale: float, n_heads: int):
+    """Batched-heads int8 variant: grid (B, kv_tiles), all heads per
+    program, int8 tiles + per-vector scales dequantized in VMEM."""
+    j = pl.program_id(1)
+    kv_len = info_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, _MASK_VALUE)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(j * block_k < kv_len)
+    def _():
+        k_pos = (j * block_k
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1))
+        valid = k_pos < kv_len
+        qa = q_ref[0, :, 0, :].astype(jnp.float32) * scale    # (H, D)
+        ka = k_ref[0].astype(jnp.float32) * ks_ref[0]         # (H, bk, D)
+        va = v_ref[0].astype(jnp.float32) * vs_ref[0]
+        m_prev, l_prev, acc_prev = m_s[...], l_s[...], acc_s[...]
+        new_m, new_l, new_acc = [], [], []
+        for h in range(n_heads):
+            s = jax.lax.dot_general(
+                qa[h:h + 1], ka[h], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = jnp.where(valid, s, _MASK_VALUE)
+            mp = m_prev[h:h + 1]
+            m_new = jnp.maximum(mp, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(mp - m_new)
+            pv = jax.lax.dot_general(
+                p, va[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            new_m.append(m_new)
+            new_l.append(l_prev[h:h + 1] * alpha
+                         + jnp.sum(p, axis=-1, keepdims=True))
+            new_acc.append(acc_prev[h:h + 1] * alpha + pv)
+        m_s[...] = jnp.concatenate(new_m, axis=0)
+        l_s[...] = jnp.concatenate(new_l, axis=0)
+        acc_s[...] = jnp.concatenate(new_acc, axis=0)
+
+    o_ref[0, :, 0, :] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)
+                         ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def decode_attention_q8_bh(q: jax.Array,
+                           k: jax.Array, k_scale: jax.Array,
+                           v: jax.Array, v_scale: jax.Array,
+                           kv_len=None, *, block_k: int = 128,
+                           interpret: bool = False) -> jax.Array:
+    """decode_attention_q8 with the batched-heads grid (the production
+    int8 variant; see _decode_kernel_q8_bh)."""
+    B, T, H, D = q.shape
+    assert T == 1
+    S = k.shape[2]
+    if kv_len is None:
+        kv_len = S
+    scale = D ** -0.5
+
+    s_pad = _round_up(S, block_k)
+    if s_pad != S:
+        pad4 = ((0, 0), (0, 0), (0, s_pad - S), (0, 0))
+        k = jnp.pad(k, pad4)
+        v = jnp.pad(v, pad4)
+        k_scale = jnp.pad(k_scale, pad4)
+        v_scale = jnp.pad(v_scale, pad4)
+    num_kv_tiles = s_pad // block_k
+
+    q4 = jnp.transpose(q, (0, 2, 1, 3))
+    info = jnp.asarray(kv_len, jnp.int32).reshape(1)
+
+    def kv_index(b, j, info_ref):
+        last = jnp.maximum(pl.cdiv(info_ref[0], block_k) - 1, 0)
+        return (b, 0, jnp.minimum(j, last), 0)
+
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_q8_bh, block_k=block_k, scale=scale,
+                          n_heads=H),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, num_kv_tiles),
+            in_specs=[
+                pl.BlockSpec((1, H, 1, D), lambda b, j, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, block_k, D), kv_index),
+                pl.BlockSpec((1, H, block_k, 1), kv_index),
+                pl.BlockSpec((1, H, block_k, D), kv_index),
+                pl.BlockSpec((1, H, block_k, 1), kv_index),
+            ],
+            out_specs=pl.BlockSpec((1, H, 1, D),
+                                   lambda b, j, *_: (b, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((H, 1), jnp.float32),
+                pltpu.VMEM((H, 1), jnp.float32),
+                pltpu.VMEM((H, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(info, q4, k, k_scale, v, v_scale)
+
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
 def decode_attention_q8(q: jax.Array,
                         k: jax.Array, k_scale: jax.Array,
