@@ -67,6 +67,16 @@ def test_slots_are_reused(nano):
         assert out[rid][:4] == [50258, 50259, 50359, 50363]
 
 
+def test_auto_language_resolves_at_slot_fill(nano):
+    cfg, params = nano
+    eng = ContinuousBatcher(params, cfg, max_slots=1, max_new=3)
+    rid = eng.submit(_audio(5), language="auto")
+    out = eng.run_until_idle()
+    lang_tok = out[rid][1]
+    assert (cfg.first_language_token <= lang_tok
+            < cfg.first_language_token + cfg.n_languages)
+
+
 def test_callbacks_fire(nano):
     cfg, params = nano
     eng = ContinuousBatcher(params, cfg, max_slots=2, max_new=3)

@@ -26,13 +26,13 @@ import numpy as np
 
 from whisper_tpu.audio import log_mel_spectrogram, pad_or_trim
 from whisper_tpu.config import WhisperConfig, get_config
-from whisper_tpu.decode import encode
+from whisper_tpu.decode import detect_language, encode
 from whisper_tpu.models.whisper import (
     decoder_step_ragged,
     init_kv_cache,
     precompute_cross_kv,
 )
-from whisper_tpu.tokenizer import Tokenizer, build_prompt
+from whisper_tpu.tokenizer import LANGUAGES, Tokenizer, build_prompt
 
 import functools
 
@@ -126,7 +126,8 @@ class ContinuousBatcher:
             "cross": {"k": zeros_cross, "v": zeros_cross},
         }
         self._slots: list[Optional[_Slot]] = [None] * self.B
-        self._queue: list[tuple[int, np.ndarray, list[int], Optional[Callable]]] = []
+        # queue entries: (rid, audio, (language, task), callback, on_token)
+        self._queue: list[tuple] = []
         self._next_id = 0
         self._results: dict[int, list[int]] = {}
 
@@ -141,9 +142,10 @@ class ContinuousBatcher:
         is committed (partial-result streaming)."""
         rid = self._next_id
         self._next_id += 1
-        prompt = build_prompt(self.cfg, language, task)
-        self._queue.append((rid, np.asarray(audio, np.float32), prompt,
-                            callback, on_token))
+        # language="auto" resolves at slot-fill time (the encoder output is
+        # computed there anyway); store the request spec as-is
+        self._queue.append((rid, np.asarray(audio, np.float32),
+                            (language, task), callback, on_token))
         return rid
 
     # ---- engine ----
@@ -154,9 +156,13 @@ class ContinuousBatcher:
                 return
             if self._slots[b] is not None:
                 continue
-            rid, audio, prompt, cb, on_tok = self._queue.pop(0)
+            rid, audio, (language, task), cb, on_tok = self._queue.pop(0)
             wav = jnp.asarray(pad_or_trim(audio, cfg.n_samples))[None]
             enc = encode(self.params, cfg, log_mel_spectrogram(wav, cfg))
+            if language == "auto":
+                probs = np.asarray(detect_language(self.params, cfg, enc))
+                language = LANGUAGES[int(probs[0].argmax())]
+            prompt = build_prompt(cfg, language, task)
             cross1 = precompute_cross_kv(self.params, cfg, enc)
             P = len(prompt)
             row = np.full((self.total,), cfg.eot_token, np.int32)
