@@ -12,6 +12,8 @@ window-scaled real/imag DFT basis rows — i.e. a GEMM on the MXU — and the me
 projection is a second small matmul that XLA fuses with the power and log
 stages. For a 30 s window this is ~1 GFLOP, noise on an MXU, and it keeps the
 whole pipeline (audio -> tokens) on device with zero host round-trips.
+(GEMM-native DFT frontends for accelerators are an established pattern —
+cf. MelT, arXiv:2606.01009.)
 
 Numerics match `transformers.WhisperFeatureExtractor` (the contract the
 reference's sample_input.bin was produced under): periodic Hann window,
