@@ -163,6 +163,22 @@ def test_beam_batched_shapes(small_cfg):
     assert np.asarray(res.tokens)[:, :P].tolist() == np.asarray(prompt).tolist()
 
 
+def test_beam_with_rules(small_cfg):
+    """Beam search composes with the logit-rule stack: suppressed tokens
+    never appear on any returned beam."""
+    cfg = small_cfg
+    params, _, enc = _setup(cfg, seed=4)
+    prompt = jnp.asarray([build_prompt(cfg)], jnp.int32)
+    # find the unsuppressed greedy top token, then ban it
+    base = beam_decode(params, cfg, enc, prompt, beam_size=2, max_new=4)
+    banned = int(np.asarray(base.tokens)[0, prompt.shape[1]])
+    opts = DecodeOptions(suppress_tokens=(banned,), suppress_blank=False)
+    res = beam_decode(params, cfg, enc, prompt, beam_size=2, max_new=4,
+                      opts=opts)
+    gen = np.asarray(res.tokens)[0, prompt.shape[1]:].tolist()
+    assert banned not in gen
+
+
 def test_transcribe_tokens_beam_path(small_cfg):
     cfg = small_cfg
     params, mel, _ = _setup(cfg)

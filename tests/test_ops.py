@@ -47,6 +47,19 @@ def test_flash_causal_with_offset_matches_reference():
                                    err_msg=f"q_offset={q_off}")
 
 
+def test_flash_long_causal_multi_tile():
+    """Causal masking across several q tiles and k tiles (exercises the
+    per-tile diagonal clipping of the dynamic kv loop)."""
+    rng = np.random.RandomState(9)
+    B, T, S, H, D = 1, 300, 300, 2, 64
+    q, k, v = _qkv(rng, B, T, S, H, D)
+    ref = mha_reference(q, k, v, S, causal=True, q_offset=0)
+    out = flash_attention(q, k, v, S, 0, causal=True,
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_flash_kv_len_masks_tail():
     """Keys beyond kv_len must not influence the output: poison the tail."""
     rng = np.random.RandomState(2)
