@@ -71,7 +71,7 @@ def main(argv=None) -> int:
 
     from whisper_tpu.config import get_config
     from whisper_tpu.pipeline import WhisperPipeline
-    from whisper_tpu.tokenizer import Tokenizer, build_prompt
+    from whisper_tpu.tokenizer import build_prompt
 
     cfg = get_config(args.model)
     if args.kv_quant:

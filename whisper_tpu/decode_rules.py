@@ -19,8 +19,7 @@ finite negative (not -inf) so fully-suppressed rows stay NaN-free.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

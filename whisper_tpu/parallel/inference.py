@@ -21,9 +21,8 @@ import functools
 from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from whisper_tpu.audio import log_mel_spectrogram, pad_or_trim
 from whisper_tpu.config import WhisperConfig, get_config

@@ -25,7 +25,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

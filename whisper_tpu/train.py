@@ -10,7 +10,7 @@ dp-sharded batch and GSPMD emits the gradient psums over ICI.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp

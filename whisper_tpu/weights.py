@@ -19,7 +19,7 @@ load-time conv transpose, whisper.mojo:61-63):
 from __future__ import annotations
 
 import io
-from typing import Any, BinaryIO, Callable, Mapping
+from typing import Any, Callable, Mapping
 
 import jax.numpy as jnp
 import numpy as np
