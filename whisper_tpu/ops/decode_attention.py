@@ -202,6 +202,8 @@ def decode_attention_bh(q: jax.Array, k: jax.Array, v: jax.Array,
     if kv_len is None:
         kv_len = S
     scale = D ** -0.5
+    k = k.astype(q.dtype)        # mixed dtypes fail Mosaic dot lowering
+    v = v.astype(q.dtype)
 
     s_pad = _round_up(S, block_k)
     if s_pad != S:

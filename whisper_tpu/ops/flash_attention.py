@@ -127,6 +127,11 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         q_offset = 0
     scale = D ** -0.5
 
+    # unify dtypes: mixed fp32-q/bf16-kv fails Mosaic's dot lowering
+    # ("Bad lhs type"), and mixed inputs are never intentional here
+    k = k.astype(q.dtype)
+    v = v.astype(q.dtype)
+
     qt = jnp.transpose(q, (0, 2, 1, 3))                  # (B, H, T, D)
     # sublane-align small prefills (16 covers bf16's (16, 128) min tile)
     block_q = min(block_q, _round_up(T, 16))
