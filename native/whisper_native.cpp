@@ -68,6 +68,9 @@ long wn_decode_wav(const uint8_t* bytes, long nbytes, float** out,
     const uint8_t* ck = bytes + pos;
     uint32_t len = rd_u32(ck + 4);
     if (std::memcmp(ck, "fmt ", 4) == 0 && len >= 16) {
+      // the declared chunk body must actually be present — a truncated fmt
+      // chunk would otherwise read past the buffer below
+      if (pos + 8 + (long)len > nbytes) return -1;
       fmt = rd_u16(ck + 8);
       channels = rd_u16(ck + 10);
       rate = (int)rd_u32(ck + 12);

@@ -185,3 +185,69 @@ def test_transcribe_tokens_beam_path(small_cfg):
     prompt = jnp.asarray([build_prompt(cfg)], jnp.int32)
     res = transcribe_tokens(params, cfg, mel, prompt, max_new=5, beam_size=2)
     assert res.tokens.shape == (1, prompt.shape[1] + 1 + 5)
+
+
+def test_timestamp_closed_pair_forces_strictly_increasing(tiny_cfg):
+    """openai ApplyTimestampRules: once a timestamp pair closed, the next
+    timestamp must be strictly greater (nonzero-length segments)."""
+    cfg = tiny_cfg
+    ts0 = cfg.timestamp_begin
+    opts = DecodeOptions(timestamps=True, suppress_blank=False,
+                         max_initial_timestamp_index=None)
+    V = cfg.vocab_size
+    P = 4
+    # closed pair (ts, ts) then a text token: the pair is closed
+    tokens = jnp.asarray(
+        [[50258, 50259, 50359, 50364, ts0 + 10, ts0 + 10, 100, 0]], jnp.int32)
+    out = apply_rules(jnp.zeros((1, V)), tokens, jnp.int32(P + 3), P, cfg,
+                      opts)
+    assert float(out[0, ts0 + 10]) <= NEG / 2      # equal now banned
+    assert float(out[0, ts0 + 11]) > NEG / 2       # strictly greater ok
+    # open pair (single trailing ts): equal still allowed
+    tokens2 = jnp.asarray(
+        [[50258, 50259, 50359, 50364, 100, ts0 + 10, 0, 0]], jnp.int32)
+    out2 = apply_rules(jnp.zeros((1, V)), tokens2, jnp.int32(P + 2), P, cfg,
+                       opts)
+    assert float(out2[0, ts0 + 10]) > NEG / 2
+
+
+def test_timestamp_force_rule_suppresses_eot(tiny_cfg):
+    """Rule 4 masks everything below timestamp_begin — EOT included
+    (openai: logits[: timestamp_begin] = -inf)."""
+    cfg = tiny_cfg
+    ts0 = cfg.timestamp_begin
+    opts = DecodeOptions(timestamps=True, suppress_blank=False,
+                         max_initial_timestamp_index=None)
+    V = cfg.vocab_size
+    P = 4
+    # mid-sequence (not first token), total timestamp mass dominant
+    logits = jnp.zeros((1, V)).at[0, ts0:].set(5.0)
+    tokens = jnp.asarray([[50258, 50259, 50359, 50364, 100, 0, 0]], jnp.int32)
+    out = apply_rules(logits, tokens, jnp.int32(P + 1), P, cfg, opts)
+    assert float(out[0, cfg.eot_token]) <= NEG / 2
+    assert float(out[0, 100]) <= NEG / 2
+    assert float(out[0, ts0 + 10]) > NEG / 2
+
+
+def test_beam_reports_no_speech_prob(small_cfg):
+    """beam_decode supplies no_speech_prob (the pipeline's silence gate
+    requires it), matching greedy_decode's SOT-position softmax."""
+    cfg = small_cfg
+    params, _, enc = _setup(cfg, seed=5)
+    prompt = jnp.asarray([build_prompt(cfg)], jnp.int32)
+    g = greedy_decode(params, cfg, enc, prompt, max_new=4)
+    b = beam_decode(params, cfg, enc, prompt, beam_size=3, max_new=4)
+    assert b.no_speech_prob is not None
+    np.testing.assert_allclose(np.asarray(b.no_speech_prob),
+                               np.asarray(g.no_speech_prob), atol=1e-5)
+
+
+def test_beam_rejects_temperature(small_cfg):
+    cfg = small_cfg
+    params, _, enc = _setup(cfg)
+    prompt = jnp.asarray([build_prompt(cfg)], jnp.int32)
+    opts = DecodeOptions(temperature=0.7)
+    import pytest
+    with pytest.raises(ValueError, match="beam"):
+        beam_decode(params, cfg, enc, prompt, beam_size=2, max_new=4,
+                    opts=opts)

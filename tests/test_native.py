@@ -137,3 +137,23 @@ def test_load_audio_end_to_end(tmp_path):
     spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
     peak = np.fft.rfftfreq(len(y), 1 / 16_000)[np.argmax(spec)]
     assert abs(peak - 330.0) < 2.0
+
+
+def test_decode_wav_truncated_fmt_chunk_rejected():
+    """A fmt chunk whose declared length runs past EOF must error (-1), not
+    read out of bounds."""
+    good = _wav_bytes(np.zeros(16, np.float32), 16_000)
+    # keep RIFF/WAVE + the fmt chunk *header* but cut the body short
+    truncated = good[:22]          # 12-byte RIFF header + 8-byte hdr + 2 bytes
+    with pytest.raises(ValueError):
+        native.decode_wav(truncated)
+
+
+def test_decode_wav_fmt_len_overruns_buffer_rejected():
+    """fmt length field forged to exceed the buffer must error cleanly."""
+    good = bytearray(_wav_bytes(np.zeros(16, np.float32), 16_000))
+    # fmt chunk starts at offset 12; its len field is at 16..19
+    assert good[12:16] == b"fmt "
+    good[16:20] = (10_000_000).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        native.decode_wav(bytes(good))

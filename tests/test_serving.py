@@ -71,3 +71,24 @@ def test_close_rejects_new_requests():
     bt.close()
     with pytest.raises(RuntimeError):
         bt.submit(_audio(0))
+
+
+def test_mixed_prompt_lengths_fail_loudly(server, monkeypatch):
+    """A request whose prompt length differs from the batch's must error,
+    never silently decode under another request's prompt semantics."""
+    import whisper_tpu.serving as serving_mod
+    real = serving_mod.build_prompt
+
+    def fake(cfg, language="en", task="transcribe", timestamps=False,
+             prev_tokens=()):
+        ids = real(cfg, language, task, timestamps, prev_tokens)
+        if language == "fr":
+            ids = ids + [ids[-1]]      # force a longer prompt
+        return ids
+
+    monkeypatch.setattr(serving_mod, "build_prompt", fake)
+    ok = server.submit(_audio(7), language="en")
+    odd = server.submit(_audio(8), language="fr")
+    assert isinstance(ok.result(timeout=300).tokens, list)
+    with pytest.raises(ValueError, match="prompt length"):
+        odd.result(timeout=300)

@@ -13,8 +13,9 @@ documented fallback when alignment heads are unknown. `alignment_heads`
 accepts explicit (layer, head) pairs for exact parity with openai's tables.
 
 The attention-collection pass is jitted XLA (probs must be materialized, so
-the flash kernels don't apply); DTW runs host-side in numpy (O(T*S) on a
-<=448 x 1500 matrix — microseconds).
+the flash kernels don't apply); DTW runs host-side in numpy as a vectorized
+anti-diagonal wavefront sweep — O(T*S) work in O(T+S) numpy calls, a few
+milliseconds on the full 448 x 1500 window.
 """
 
 from __future__ import annotations
@@ -109,27 +110,28 @@ def median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
 
 def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Monotonic DTW over cost (N, M): returns (text_indices, time_indices)
-    tracing the minimal path from (0,0) to (N-1,M-1). Standard algorithm
-    with the (match, insertion, deletion) step set."""
+    tracing the minimal path from (0,0) to (N-1,M-1), with the standard
+    (match, insertion, deletion) step set.
+
+    Cells on anti-diagonal i+j depend only on the two previous diagonals, so
+    the DP fills diagonal-by-diagonal with vectorized gathers: O(N+M) numpy
+    calls instead of N*M Python iterations (~2k vs ~670k on a full window).
+    Tie-breaking (match preferred, then insertion) matches the scalar DP."""
     N, M = cost.shape
     D = np.full((N + 1, M + 1), np.inf)
     D[0, 0] = 0.0
     trace = np.zeros((N + 1, M + 1), dtype=np.int8)
-    for i in range(1, N + 1):
-        row_c = cost[i - 1]
-        for j in range(1, M + 1):
-            c0 = D[i - 1, j - 1]
-            c1 = D[i - 1, j]
-            c2 = D[i, j - 1]
-            if c0 <= c1 and c0 <= c2:
-                D[i, j] = c0 + row_c[j - 1]
-                trace[i, j] = 0
-            elif c1 <= c2:
-                D[i, j] = c1 + row_c[j - 1]
-                trace[i, j] = 1
-            else:
-                D[i, j] = c2 + row_c[j - 1]
-                trace[i, j] = 2
+    for d in range(2, N + M + 1):
+        i = np.arange(max(1, d - M), min(N, d - 1) + 1)
+        j = d - i
+        c0 = D[i - 1, j - 1]        # match
+        c1 = D[i - 1, j]            # insertion
+        c2 = D[i, j - 1]            # deletion
+        t = np.where((c0 <= c1) & (c0 <= c2), 0,
+                     np.where(c1 <= c2, 1, 2)).astype(np.int8)
+        best = np.where(t == 0, c0, np.where(t == 1, c1, c2))
+        D[i, j] = best + cost[i - 1, j - 1]
+        trace[i, j] = t
     i, j = N, M
     ti, tj = [], []
     while i > 0 and j > 0:

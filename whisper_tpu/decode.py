@@ -166,6 +166,10 @@ def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
 
     Returns the best beam per batch row.
     """
+    if opts is not None and opts.temperature > 0:
+        raise ValueError("beam search is deterministic; temperature > 0 is "
+                         "incompatible with beam_size > 1 (openai/whisper "
+                         "uses best_of sampling instead)")
     if max_new is None:
         max_new = cfg.max_new_tokens
     B, P = prompt.shape
@@ -188,6 +192,15 @@ def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
     prompt_bw = jnp.repeat(prompt, W, axis=0)            # (BW, P)
     logits, cache = decoder_forward(params, cfg, prompt_bw, jnp.int32(0),
                                     cache, cross_kv)
+
+    # no-speech signal from the prefill, same SOT-position softmax as
+    # greedy_decode (beams are identical at prefill — use beam 0's row)
+    sot_idx = jnp.argmax(prompt == jnp.int32(cfg.sot_token), axis=1)  # (B,)
+    logits_b0 = logits.reshape(B, W, P, V)[:, 0]                      # (B,P,V)
+    sot_logits = jnp.take_along_axis(
+        logits_b0, sot_idx[:, None, None], axis=1)[:, 0, :]
+    no_speech_prob = jax.nn.softmax(sot_logits.astype(jnp.float32), axis=-1
+                                    )[:, cfg.no_speech_token]
 
     tokens = jnp.full((B, W, total), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :, :P].set(prompt[:, None, :])
@@ -243,7 +256,8 @@ def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
     pick = lambda x: jnp.take_along_axis(
         x, best.reshape(B, *([1] * (x.ndim - 1))), axis=1).squeeze(1)
     return DecodeResult(tokens=pick(tokens), lengths=pick(lens),
-                        sum_logprobs=pick(sum_lp))
+                        sum_logprobs=pick(sum_lp),
+                        no_speech_prob=no_speech_prob)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -141,10 +141,16 @@ def _timestamp_rules(logits, tokens, pos, prompt_len, cfg, opts):
     logits = jnp.where(last_was_ts & ~penult_was_ts & is_text_col,
                        NEG, logits)
 
-    # rule 2: suppress timestamps strictly below the running max
+    # rule 2: timestamps are non-decreasing while a pair is open, and
+    # strictly increasing once the pair closed (openai forces nonzero-length
+    # segments: cutoff = last_ts when last_was_ts and not penult_was_ts,
+    # else last_ts + 1). With no timestamp yet, max_ts = ts0-1 so the closed
+    # cutoff ts0 suppresses nothing.
     gen = jnp.where(jnp.arange(tokens.shape[1])[None, :] < pos, tokens, -1)
     max_ts = jnp.max(jnp.where(gen >= ts0, gen, ts0 - 1), axis=1)  # (B,)
-    logits = jnp.where(is_ts_col & (vocab_idx < max_ts[:, None]), NEG, logits)
+    open_pair = last_was_ts & ~penult_was_ts                       # (B, 1)
+    cutoff = jnp.where(open_pair, max_ts[:, None], max_ts[:, None] + 1)
+    logits = jnp.where(is_ts_col & (vocab_idx < cutoff), NEG, logits)
 
     # rule 3: first generated token must be a timestamp
     first = pos == prompt_len
@@ -159,6 +165,6 @@ def _timestamp_rules(logits, tokens, pos, prompt_len, cfg, opts):
     ts_logprob = jax.nn.logsumexp(jnp.where(is_ts_col, logp, -jnp.inf), axis=-1)
     max_text = jnp.max(jnp.where(is_ts_col, -jnp.inf, logp), axis=-1)
     force_ts = (ts_logprob > max_text)[:, None]
-    logits = jnp.where(force_ts & ~is_ts_col & (vocab_idx != cfg.eot_token),
-                       NEG, logits)
+    # openai masks logits[: timestamp_begin] here — EOT included
+    logits = jnp.where(force_ts & ~is_ts_col, NEG, logits)
     return logits

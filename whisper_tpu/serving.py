@@ -138,22 +138,35 @@ class BatchedTranscriber:
             if not batch:
                 return
             t0 = time.perf_counter()
-            n = len(batch)
             B = self.max_batch
-            audio = np.zeros((B, cfg.n_samples), np.float32)
             prompt_rows = []
             for r in batch:
                 prompt_rows.append(build_prompt(cfg, r.language, r.task,
                                                 timestamps=bool(
                                                     self.opts and self.opts.timestamps)))
-            # pad rows (incl. dummy rows) with the first real prompt
+            # Mixed prompt lengths can't share a static batch. Rather than
+            # silently decoding a request under another request's prompt
+            # semantics, fail the odd ones out loudly; the caller can resubmit
+            # (they will land in their own batch).
             P = len(prompt_rows[0])
+            kept, kept_rows = [], []
+            for r, row in zip(batch, prompt_rows):
+                if len(row) != P:
+                    r.future.set_exception(ValueError(
+                        f"prompt length {len(row)} (language={r.language!r}, "
+                        f"task={r.task!r}) differs from the batch's {P}; "
+                        "resubmit — it will run in its own batch"))
+                else:
+                    kept.append(r)
+                    kept_rows.append(row)
+            batch, prompt_rows = kept, kept_rows
+            if not batch:
+                continue
+            n = len(batch)
+            audio = np.zeros((B, cfg.n_samples), np.float32)
+            # pad rows (incl. dummy rows) with the first real prompt
             prompts = np.tile(np.asarray(prompt_rows[0], np.int32), (B, 1))
             for i, row in enumerate(prompt_rows):
-                if len(row) != P:
-                    # mixed prompt lengths can't share a static batch; decode
-                    # the odd one out with the first row's prompt semantics
-                    row = prompt_rows[0]
                 prompts[i] = row
             for i, r in enumerate(batch):
                 audio[i] = pad_or_trim(r.audio, cfg.n_samples)
