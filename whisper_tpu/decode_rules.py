@@ -86,18 +86,26 @@ def apply_rules(logits: jax.Array, tokens: jax.Array, pos,
     Args:
       logits: (B, vocab) fp32 — the final position's logits.
       tokens: (B, total) int32 — sequence so far (EOT-padded).
-      pos: scalar int32 — index in `tokens` where the *next* token goes.
-      prompt_len: static int — length of the SOT prompt.
+      pos: scalar int32 — index in `tokens` where the *next* token goes —
+        or a (B,) array for ragged batches (continuous batching, where every
+        row is at its own position).
+      prompt_len: static int — length of the SOT prompt — or a (B,) array
+        for ragged batches.
       opts: static DecodeOptions.
       blank_token: id of "Ġ" (space); 220 in the GPT-2/whisper vocab.
     Returns:
       biased logits (B, vocab).
     """
     B, V = logits.shape
+    # normalize pos/prompt_len to (B, 1) columns so scalar (lockstep decode)
+    # and per-row (ragged/continuous) callers share one rule implementation
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (B,)).reshape(B, 1)
+    prompt_len = jnp.broadcast_to(
+        jnp.asarray(prompt_len, jnp.int32), (B,)).reshape(B, 1)
     logits = logits + _static_bias(cfg, opts)[None, :]
 
     if opts.suppress_blank:
-        first = pos == prompt_len
+        first = pos == prompt_len                            # (B, 1)
         blank_bias = jnp.zeros((V,), jnp.float32).at[
             jnp.asarray([blank_token, cfg.eot_token])].set(NEG)
         logits = jnp.where(first, logits + blank_bias[None, :], logits)
@@ -118,6 +126,8 @@ def _timestamp_rules(logits, tokens, pos, prompt_len, cfg, opts):
          allowed, capped at max_initial_timestamp.
       4. if total timestamp probability exceeds the best text token, force a
          timestamp.
+
+    pos and prompt_len arrive as (B, 1) int32 columns (see apply_rules).
     """
     B, V = logits.shape
     ts0 = cfg.timestamp_begin
@@ -127,13 +137,14 @@ def _timestamp_rules(logits, tokens, pos, prompt_len, cfg, opts):
     is_text_col = vocab_idx < cfg.eot_token
 
     def last_tok(offset):
-        i = jnp.maximum(pos - offset, 0)
-        return tokens[:, i], (pos - offset) >= prompt_len
+        i = jnp.maximum(pos - offset, 0)                 # (B, 1)
+        t = jnp.take_along_axis(tokens, i, axis=1)       # (B, 1)
+        return t, (pos - offset) >= prompt_len
 
     t1, v1 = last_tok(1)
     t2, v2 = last_tok(2)
-    last_was_ts = jnp.logical_and(v1, t1 >= ts0)[:, None]
-    penult_was_ts = jnp.logical_and(v2, t2 >= ts0)[:, None]
+    last_was_ts = jnp.logical_and(v1, t1 >= ts0)         # (B, 1)
+    penult_was_ts = jnp.logical_and(v2, t2 >= ts0)
 
     # rule 1
     logits = jnp.where(jnp.logical_and(last_was_ts, penult_was_ts) & is_ts_col,
@@ -146,7 +157,7 @@ def _timestamp_rules(logits, tokens, pos, prompt_len, cfg, opts):
     # segments: cutoff = last_ts when last_was_ts and not penult_was_ts,
     # else last_ts + 1). With no timestamp yet, max_ts = ts0-1 so the closed
     # cutoff ts0 suppresses nothing.
-    gen = jnp.where(jnp.arange(tokens.shape[1])[None, :] < pos, tokens, -1)
+    gen = jnp.where(jnp.arange(tokens.shape[1])[None, :] < pos, tokens, -1)  # pos is (B,1)
     max_ts = jnp.max(jnp.where(gen >= ts0, gen, ts0 - 1), axis=1)  # (B,)
     open_pair = last_was_ts & ~penult_was_ts                       # (B, 1)
     cutoff = jnp.where(open_pair, max_ts[:, None], max_ts[:, None] + 1)

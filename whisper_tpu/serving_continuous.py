@@ -27,6 +27,7 @@ import numpy as np
 from whisper_tpu.audio import log_mel_spectrogram, pad_or_trim
 from whisper_tpu.config import WhisperConfig, get_config
 from whisper_tpu.decode import detect_language, encode
+from whisper_tpu.decode_rules import DecodeOptions, apply_rules
 from whisper_tpu.models.whisper import (
     decoder_step_ragged,
     init_kv_cache,
@@ -37,8 +38,9 @@ from whisper_tpu.tokenizer import LANGUAGES, Tokenizer, build_prompt
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _engine_step(params, cfg: WhisperConfig, state):
+@functools.partial(jax.jit, static_argnames=("cfg", "opts"))
+def _engine_step(params, cfg: WhisperConfig, state,
+                 opts: Optional[DecodeOptions] = None):
     """One lockstep token for every active slot.
 
     state: dict with
@@ -47,8 +49,13 @@ def _engine_step(params, cfg: WhisperConfig, state):
       forced_len (B,) i32     — prompt length (teacher-forced region)
       active (B,) bool        — slot holds a live request
       finished (B,) bool      — slot hit EOT (awaiting harvest)
+      seed (B,) u32           — per-slot sampling seed (temperature > 0)
       cache {k, v}            — ragged self-attn cache
       cross {k, v}            — per-slot cross K/V
+
+    The same rule stack as the batch decode paths (decode_rules.apply_rules)
+    runs on every step's logits, with per-row pos/prompt_len — identical
+    requests produce identical tokens here and in greedy_decode.
     """
     eot = jnp.int32(cfg.eot_token)
     tokens, pos = state["tokens"], state["pos"]
@@ -63,7 +70,20 @@ def _engine_step(params, cfg: WhisperConfig, state):
 
     logits, cache = decoder_step_ragged(
         params, cfg, last, safe_pos, state["cache"], state["cross"])
-    nxt_model = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    l = logits[:, -1, :]
+    if opts is not None:
+        l = apply_rules(l, tokens, pos, state["forced_len"], cfg, opts)
+    if opts is not None and opts.temperature > 0:
+        # per-slot streams: key = fold(slot seed, position) — a request's
+        # samples depend only on its own seed and progress, never on batch
+        # composition or slot index
+        keys = jax.vmap(jax.random.fold_in)(
+            jax.vmap(jax.random.PRNGKey)(state["seed"]), pos)
+        nxt_model = jax.vmap(
+            lambda k, row: jax.random.categorical(k, row / opts.temperature)
+        )(keys, l).astype(jnp.int32)
+    else:
+        nxt_model = jnp.argmax(l, axis=-1).astype(jnp.int32)
 
     in_prompt = pos < state["forced_len"]
     forced = tokens[rows, jnp.clip(pos, 0, tokens.shape[1] - 1)]
@@ -100,15 +120,18 @@ class ContinuousBatcher:
 
     def __init__(self, params, cfg: WhisperConfig | str, max_slots: int = 8,
                  max_new: Optional[int] = None,
-                 tokenizer: Optional[Tokenizer] = None):
+                 tokenizer: Optional[Tokenizer] = None,
+                 opts: Optional[DecodeOptions] = None):
         self.cfg = get_config(cfg) if isinstance(cfg, str) else cfg
         assert not self.cfg.kv_cache_quant, \
             "continuous batching uses the unquantized cache layout"
         self.params = params
         self.tokenizer = tokenizer or Tokenizer(config=self.cfg)
         self.B = int(max_slots)
+        self.opts = opts
         cfg = self.cfg
-        P = len(build_prompt(cfg))
+        self._timestamps = bool(opts and opts.timestamps)
+        P = len(build_prompt(cfg, timestamps=self._timestamps))
         self.total = min(cfg.n_text_ctx,
                          P + 1 + (max_new or cfg.max_new_tokens))
         cache = init_kv_cache(cfg, self.B,
@@ -122,6 +145,7 @@ class ContinuousBatcher:
             "forced_len": jnp.zeros((self.B,), jnp.int32),
             "active": jnp.zeros((self.B,), bool),
             "finished": jnp.zeros((self.B,), bool),
+            "seed": jnp.zeros((self.B,), jnp.uint32),
             "cache": cache,
             "cross": {"k": zeros_cross, "v": zeros_cross},
         }
@@ -135,52 +159,70 @@ class ContinuousBatcher:
     def submit(self, audio: np.ndarray, language: str = "en",
                task: str = "transcribe",
                callback: Optional[Callable] = None,
-               on_token: Optional[Callable] = None) -> int:
+               on_token: Optional[Callable] = None,
+               seed: Optional[int] = None) -> int:
         """Queue a request; returns its id. Final tokens are delivered via
         callback(request_id, token_ids) and run_until_idle()'s dict;
         on_token(request_id, token_id) streams each generated token as it
-        is committed (partial-result streaming)."""
+        is committed (partial-result streaming). `seed` fixes this request's
+        sampling stream when opts.temperature > 0 (default: the request id)."""
         rid = self._next_id
         self._next_id += 1
         # language="auto" resolves at slot-fill time (the encoder output is
         # computed there anyway); store the request spec as-is
         self._queue.append((rid, np.asarray(audio, np.float32),
-                            (language, task), callback, on_token))
+                            (language, task), callback, on_token,
+                            rid if seed is None else int(seed)))
         return rid
 
     # ---- engine ----
     def _fill_free_slots(self) -> None:
+        """Claim free slots for queued requests. All joining requests share
+        ONE padded-batch (B, ...) mel+encoder dispatch — slot-fill cost is
+        flat in the number of arrivals, and the encoder executable is the
+        same regardless of how many join (static shapes)."""
         cfg = self.cfg
-        for b in range(self.B):
-            if not self._queue:
-                return
-            if self._slots[b] is not None:
-                continue
-            rid, audio, (language, task), cb, on_tok = self._queue.pop(0)
-            wav = jnp.asarray(pad_or_trim(audio, cfg.n_samples))[None]
-            enc = encode(self.params, cfg, log_mel_spectrogram(wav, cfg))
+        free = [b for b in range(self.B) if self._slots[b] is None]
+        if not free or not self._queue:
+            return
+        take = self._queue[:len(free)]
+        del self._queue[:len(take)]
+
+        audio = np.zeros((self.B, cfg.n_samples), np.float32)
+        for i, req in enumerate(take):
+            audio[i] = pad_or_trim(req[1], cfg.n_samples)
+        enc = encode(self.params, cfg,
+                     log_mel_spectrogram(jnp.asarray(audio), cfg))
+        lang_probs = None
+        if any(req[2][0] == "auto" for req in take):
+            lang_probs = np.asarray(detect_language(self.params, cfg, enc))
+        cross = precompute_cross_kv(self.params, cfg, enc)   # (L, B, H, S, D)
+
+        s = self.state
+        for i, (rid, _, (language, task), cb, on_tok, seed) in enumerate(take):
+            b = free[i]
             if language == "auto":
-                probs = np.asarray(detect_language(self.params, cfg, enc))
-                language = LANGUAGES[int(probs[0].argmax())]
-            prompt = build_prompt(cfg, language, task)
-            cross1 = precompute_cross_kv(self.params, cfg, enc)
+                language = LANGUAGES[int(lang_probs[i].argmax())]
+            prompt = build_prompt(cfg, language, task,
+                                  timestamps=self._timestamps)
             P = len(prompt)
             row = np.full((self.total,), cfg.eot_token, np.int32)
             row[:P] = prompt
-            s = self.state
-            self.state = {
+            s = {
                 **s,
                 "tokens": s["tokens"].at[b].set(jnp.asarray(row)),
                 "pos": s["pos"].at[b].set(1),          # SOT consumed as last
                 "forced_len": s["forced_len"].at[b].set(P),
                 "active": s["active"].at[b].set(True),
                 "finished": s["finished"].at[b].set(False),
+                "seed": s["seed"].at[b].set(jnp.uint32(seed)),
                 "cache": jax.tree.map(lambda a: a.at[:, b].set(0), s["cache"]),
                 "cross": jax.tree.map(
-                    lambda a, n: a.at[:, b].set(n[:, 0].astype(a.dtype)),
-                    s["cross"], cross1),
+                    lambda a, n, i=i: a.at[:, b].set(n[:, i].astype(a.dtype)),
+                    s["cross"], cross),
             }
             self._slots[b] = _Slot(rid, cb, on_tok, emitted=P)
+        self.state = s
 
     def _stream(self) -> None:
         """Emit newly committed tokens to per-request on_token callbacks."""
@@ -219,7 +261,8 @@ class ContinuousBatcher:
     def step(self) -> None:
         """Fill slots, run one lockstep token, stream, harvest EOTs."""
         self._fill_free_slots()
-        self.state = _engine_step(self.params, self.cfg, self.state)
+        self.state = _engine_step(self.params, self.cfg, self.state,
+                                  self.opts)
         self._stream()
         self._harvest()
 
