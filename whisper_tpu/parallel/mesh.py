@@ -28,27 +28,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 Params = Any
 
 
-def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1,
+def make_mesh(dp: int = 1, tp: int = 1, sp: int = 1, pp: int = 1,
               devices: Optional[list] = None) -> Mesh:
-    """Build a (dp, sp, tp) mesh over the given (default: all) devices.
+    """Build a (dp, sp, tp[, pp]) mesh over the given (default: all) devices.
 
     sp (sequence/context parallel) shards the 1500-frame encoder sequence —
     the long-form/Large-v3 axis (SURVEY.md §2.6 table); GSPMD inserts the
-    K/V all-gathers encoder attention needs. sp=1 collapses to the (dp, tp)
-    layout."""
+    K/V all-gathers encoder attention needs. pp (pipeline parallel) shards
+    the stacked-layer axis, consumed by parallel/pipeline_parallel.py's
+    GPipe schedule. Unused axes of size 1 collapse away."""
     devices = devices if devices is not None else jax.devices()
-    if dp * sp * tp != len(devices):
-        raise ValueError(f"mesh {dp}x{sp}x{tp} != {len(devices)} devices")
+    if dp * sp * tp * pp != len(devices):
+        raise ValueError(
+            f"mesh {dp}x{sp}x{tp}x{pp} != {len(devices)} devices")
+    if pp > 1:
+        arr = np.asarray(devices).reshape(dp, sp, tp, pp)
+        return Mesh(arr, axis_names=("dp", "sp", "tp", "pp"))
     arr = np.asarray(devices).reshape(dp, sp, tp)
     return Mesh(arr, axis_names=("dp", "sp", "tp"))
 
 
-def param_pspecs(params: Params) -> Params:
+def param_pspecs(params: Params, pipeline: bool = False) -> Params:
     """PartitionSpec tree for a params pytree (tp sharding of the weights;
-    dp never touches weights — they are replicated across dp)."""
+    dp never touches weights — they are replicated across dp). With
+    pipeline=True the stacked-layer leading axis is sharded over pp, so
+    each pipeline rank holds only its own stage's layers."""
 
     def spec_for(path: str, x) -> P:
         nd = np.ndim(x)
+        layer_ax = ("pp" if pipeline and "layers" in path else None)
         # --- embeddings ---
         if "tok_emb" in path:
             return P("tp", None)            # vocab-sharded: splits logit matmul
@@ -57,19 +65,22 @@ def param_pspecs(params: Params) -> Params:
         # --- conv stem: small; replicate ---
         if "conv" in path:
             return P(*([None] * nd))
-        # --- layer norms, biases of row-sharded matmuls: replicated ---
+        # --- layer norms, biases of row-sharded matmuls: replicated over
+        # tp (but stacked (L, d) leaves still split over pp when pipelining)
         if nd <= 2 and ("'g'" in path or ("ln" in path and "'b'" in path)):
+            if nd == 2 and layer_ax:
+                return P(layer_ax, None)
             return P(*([None] * nd))
         # --- stacked linear weights: (L, in, out) ---
         if nd == 3:
             if "fc2" in path or "'o'" in path:
-                return P(None, "tp", None)   # row-parallel (reduce -> psum)
-            return P(None, None, "tp")       # column-parallel (q/k/v, fc1)
+                return P(layer_ax, "tp", None)  # row-parallel (reduce->psum)
+            return P(layer_ax, None, "tp")      # column-parallel (q/k/v, fc1)
         # --- stacked biases: (L, out) ---
         if nd == 2:
             if "fc2" in path or "'o'" in path:
-                return P(None, None)         # bias of row-parallel: replicated
-            return P(None, "tp")
+                return P(layer_ax, None)     # bias of row-parallel: replicated
+            return P(layer_ax, "tp")
         # --- unstacked encoder-final / decoder-final LN params (d,) ---
         return P(*([None] * nd))
 
@@ -95,10 +106,14 @@ def sanitize_pspec(shape, spec: P, mesh: Mesh) -> P:
     return P(*fixed)
 
 
-def shard_params(params: Params, mesh: Mesh) -> Params:
+def shard_params(params: Params, mesh: Mesh,
+                 pipeline: Optional[bool] = None) -> Params:
     """Place a params pytree onto the mesh per param_pspecs (axes that don't
-    divide are replicated, see sanitize_pspec)."""
-    specs = param_pspecs(params)
+    divide are replicated, see sanitize_pspec). pipeline defaults to True
+    exactly when the mesh has a pp axis of size > 1."""
+    if pipeline is None:
+        pipeline = "pp" in mesh.axis_names and mesh.shape["pp"] > 1
+    specs = param_pspecs(params, pipeline=pipeline)
     return jax.tree.map(
         lambda x, s: jax.device_put(
             x, NamedSharding(mesh, sanitize_pspec(np.shape(x), s, mesh))),
