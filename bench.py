@@ -94,6 +94,10 @@ def main() -> None:
 
     p50 = float(np.median(times))
     rtfx = BATCH * cfg.chunk_length_s / p50
+    # Roofline accounting (VERDICT r1 Next #7): MFU vs the v5e bf16 peak and
+    # the fraction of the phase-summed compute/HBM floor this run achieved.
+    from whisper_tpu.utils.perf_model import workload_cost
+    cost = workload_cost(cfg, BATCH, prompt.shape[1], GEN_TOKENS)
     print(json.dumps({
         "metric": f"rtfx_per_chip_tiny_b{BATCH}_greedy89",
         "value": round(rtfx, 2),
@@ -104,6 +108,10 @@ def main() -> None:
         "dtype": DTYPE,
         "attn": BACKEND or "auto",
         "kv_quant": KV_QUANT,
+        "achieved_tflops": round(cost.flops / p50 / 1e12, 2),
+        "mfu_pct": round(100 * cost.mfu(p50), 2),
+        "sol_pct": round(100 * cost.sol_frac(p50), 1),
+        "floor_s": round(cost.floor_s, 4),
         "device": str(jax.devices()[0]),
     }))
 

@@ -1,0 +1,111 @@
+"""A/B microbenchmarks for the q_len==1 decode-attention kernels on the real
+TPU (VERDICT r1 Next #2: make the kernels win at Whisper shapes, then lower
+the dispatch thresholds).
+
+Measures, at the shapes production actually hits —
+    self-attn:  S=448  (n_text_ctx),  kv_len ~ 93 (prompt+mid-decode)
+    cross-attn: S=1500 (n_audio_ctx), kv_len = 1500
+for batch {8, 32}, bf16 —
+    * XLA reference attention (mha_reference)
+    * decode_attention_bh at block_k in {128, 256, 512, 768}
+    * decode_attention (per-(b,h) grid) at block_k 128 for reference
+
+Timing discipline (CLAUDE.md): per-dispatch host overhead through the axon
+tunnel is ~30 ms, so each variant runs ITERS chained calls inside ONE jitted
+lax.scan (the output feeds the next query so XLA cannot CSE or hoist the
+call) and reports wall/ITERS.
+
+Usage: python benchmarks/decode_kernels_ab.py [--iters 200] [--out file]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def timed_chain(fn, q0, iters: int) -> float:
+    """Median seconds per call of fn(q) -> (B,1,H,D), chained q <- out."""
+
+    @jax.jit
+    def chain(q):
+        def body(q, _):
+            out = fn(q)
+            return out.astype(q.dtype), ()
+        q, _ = jax.lax.scan(body, q, None, length=iters)
+        return q
+
+    chain(q0).block_until_ready()            # compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        chain(q0).block_until_ready()
+        times.append((time.perf_counter() - t0) / iters)
+    return float(np.median(times))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--out", default=None)
+    p.add_argument("--dtype", default="bfloat16")
+    args = p.parse_args()
+
+    from whisper_tpu.ops.attention import mha_reference
+    from whisper_tpu.ops.decode_attention import (
+        decode_attention,
+        decode_attention_bh,
+    )
+
+    H, D = 6, 64
+    dtype = jnp.dtype(args.dtype)
+    shapes = [
+        ("self_S448_len93", 448, 93),
+        ("cross_S1500", 1500, 1500),
+    ]
+    rows = []
+    for B in (8, 32):
+        for name, S, kv_len in shapes:
+            key = jax.random.PRNGKey(0)
+            kq, kk, kv = jax.random.split(key, 3)
+            q0 = jax.random.normal(kq, (B, 1, H, D), dtype)
+            k = jax.random.normal(kk, (B, H, S, D), dtype)
+            v = jax.random.normal(kv, (B, H, S, D), dtype)
+            bw_bytes = 2 * B * H * kv_len * D * dtype.itemsize
+            variants = {
+                "xla": lambda q: mha_reference(q, k, v, kv_len),
+            }
+            for bk in (128, 256, 512, 768):
+                if bk <= S or bk == 128:
+                    variants[f"bh_bk{bk}"] = functools.partial(
+                        lambda q, bk: decode_attention_bh(
+                            q, k, v, kv_len, block_k=bk), bk=bk)
+            variants["perhead_bk128"] = lambda q: decode_attention(
+                q, k, v, kv_len, block_k=128)
+            for vname, fn in variants.items():
+                us = timed_chain(fn, q0, args.iters) * 1e6
+                floor_us = bw_bytes / 819e9 * 1e6
+                row = {"shape": name, "batch": B, "variant": vname,
+                       "us_per_call": round(us, 1),
+                       "floor_us": round(floor_us, 1),
+                       "x_floor": round(us / floor_us, 2)}
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()
