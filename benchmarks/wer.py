@@ -31,9 +31,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synthetic_clips(n: int, n_samples: int, sample_rate: int
@@ -55,6 +58,11 @@ def synthetic_clips(n: int, n_samples: int, sample_rate: int
 
 def build_pipeline(model: str, dtype: str, kv_quant: bool, weights: str | None):
     import jax
+
+    # The axon sitecustomize force-selects the TPU; quality A/B runs are
+    # CPU-deterministic by default (WHISPER_WER_PLATFORM=axon opts back in).
+    jax.config.update("jax_platforms",
+                      os.environ.get("WHISPER_WER_PLATFORM", "cpu"))
     import jax.numpy as jnp
 
     from whisper_tpu.config import get_config
