@@ -39,23 +39,36 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def timed_chain(fn, q0, iters: int) -> float:
-    """Median seconds per call of fn(q) -> (B,1,H,D), chained q <- out."""
+    """Seconds per call of fn(q) -> (B,1,H,D), chained q <- out.
 
-    @jax.jit
-    def chain(q):
-        def body(q, _):
-            out = fn(q)
-            return out.astype(q.dtype), ()
-        q, _ = jax.lax.scan(body, q, None, length=iters)
-        return q
+    The axon tunnel costs ~30 ms per host->device dispatch, which at N
+    chained iterations shows up as 30ms/N of apparent per-call time. Two
+    chain lengths (N and N/4) cancel the fixed cost: slope = (w_N - w_N4)
+    / (N - N/4)."""
 
-    chain(q0).block_until_ready()            # compile
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        chain(q0).block_until_ready()
-        times.append((time.perf_counter() - t0) / iters)
-    return float(np.median(times))
+    def make_chain(n):
+        @jax.jit
+        def chain(q):
+            def body(q, _):
+                out = fn(q)
+                return out.astype(q.dtype), ()
+            q, _ = jax.lax.scan(body, q, None, length=n)
+            return q
+        return chain
+
+    long_c, short_c = make_chain(iters), make_chain(iters // 4)
+
+    def median_wall(c):
+        c(q0).block_until_ready()            # compile
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            c(q0).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    w_long, w_short = median_wall(long_c), median_wall(short_c)
+    return max(w_long - w_short, 0.0) / (iters - iters // 4)
 
 
 def main() -> None:

@@ -19,7 +19,8 @@ def _k(B, S, H, D=64):
 
 
 def test_decode_policy_by_cache_length():
-    # Whisper-Tiny self-attn cache (448): XLA
+    # Whisper self-attn cache (448): XLA wins END-TO-END (fusion into the
+    # surrounding projections beats the kernel's standalone edge, DESIGN §9)
     assert _auto_backend(_q(8, 1, 6), _k(8, 448, 6)) == "reference"
     # Whisper cross-attn (1500): XLA
     assert _auto_backend(_q(8, 1, 6), _k(8, 1500, 6)) == "reference"

@@ -46,6 +46,12 @@ class WhisperConfig:
     # int8 KV cache (self + cross) with per-vector scales: ~2x less cache
     # HBM traffic per decode step at a small accuracy cost.
     kv_cache_quant: bool = False
+    # Fused decoder-step megakernel (ops/decoder_step.py): one Pallas
+    # program per greedy decode step instead of ~60 XLA fusions. None =
+    # auto (currently OFF: token-identical on v5e but slower than the XLA
+    # step — DESIGN.md §8); True forces it (interpret mode off-TPU, for
+    # tests); False forces the XLA step. Env: WHISPER_TPU_FUSED=0|1.
+    fused_step: Optional[bool] = None
     # Special-token layout. eot/sot/etc. cannot be derived from vocab_size
     # alone: large-v3 adds a 100th language token, shifting every task token
     # by +1 while keeping eot at 50257.

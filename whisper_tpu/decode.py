@@ -31,9 +31,72 @@ from whisper_tpu.decode_rules import NEG, DecodeOptions, apply_rules
 from whisper_tpu.models.whisper import (
     decoder_forward,
     encoder_forward,
+    final_logits,
     init_kv_cache,
     precompute_cross_kv,
 )
+
+
+def _fused_step_enabled(cfg: WhisperConfig) -> bool:
+    """Whether greedy decode uses the fused decoder-step megakernel
+    (ops/decoder_step.py). Auto policy: OFF — measured on the real v5e
+    (tiny bf16 b8) the megakernel is token-identical but currently slower
+    than the XLA step (1.81 vs 1.31 ms/step; DESIGN.md §8), so it stays
+    opt-in until it wins. WHISPER_TPU_FUSED=0|1 overrides; cfg.fused_step
+    forces (True off-TPU runs the kernel in interpret mode — tests)."""
+    import os
+    if cfg.kv_cache_quant:
+        return False
+    env = os.environ.get("WHISPER_TPU_FUSED")
+    if env is not None:
+        return env == "1"
+    if cfg.fused_step is not None:
+        return cfg.fused_step
+    return False
+
+
+def _make_fused_step(params, cfg: WhisperConfig, cache, cross_kv):
+    """Build the fused-step closure + convert the cache/cross K/V to the
+    kernel's head-outer layout (once per transcription, after prefill).
+
+    Returns (step_fn, converted_cache) where
+    step_fn(last_tokens (B,1), pos, cache) -> (logits (B,1,V), cache)."""
+    from whisper_tpu.ops.decoder_step import (
+        fused_decoder_step,
+        pack_misc,
+        split_weights,
+        to_head_outer,
+    )
+    dec = params["decoder"]
+    layers = dec["layers"]
+    dtype = jnp.dtype(cfg.compute_dtype)
+    wq, wk, wv, wcq, wo, wco = split_weights(layers, cfg.n_heads, dtype)
+    fc1_w = layers["fc1"]["w"].astype(dtype)
+    fc2_w = layers["fc2"]["w"].astype(dtype)
+    misch, miscd = pack_misc(layers, cfg.n_heads)
+    cache = {"k": to_head_outer(cache["k"]), "v": to_head_outer(cache["v"])}
+    cross_k = to_head_outer(cross_kv["k"])
+    cross_v = to_head_outer(cross_kv["v"])
+    interpret = (jax.default_backend() != "tpu"
+                 or cfg.attn_backend == "pallas_interpret")
+
+    def step(last, pos, cache):
+        h0 = (dec["tok_emb"][last[:, 0]].astype(dtype)
+              + dec["pos_emb"][pos][None, :].astype(dtype))
+        h_out, k_new, v_new = fused_decoder_step(
+            h0, wq, wk, wv, wcq, wo, wco, fc1_w, fc2_w, misch, miscd,
+            cache["k"], cache["v"], cross_k, cross_v, pos + 1,
+            n_layers=cfg.n_text_layers, n_heads=cfg.n_heads,
+            eps=cfg.ln_eps, interpret=interpret)
+        cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], k_new[:, :, None, :], (0, 0, pos, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], v_new[:, :, None, :], (0, 0, pos, 0)),
+        }
+        return final_logits(params, cfg, h_out[:, None, :]), cache
+
+    return step, cache
 
 
 class DecodeResult(NamedTuple):
@@ -126,6 +189,15 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
     no_speech_prob = jax.nn.softmax(sot_logits.astype(jnp.float32), axis=-1
                                     )[:, cfg.no_speech_token]
 
+    # Incremental step: the fused Pallas megakernel when eligible (one
+    # program for all decoder layers, ops/decoder_step.py), else the
+    # scanned XLA decoder. Both share prefill above and logits/rules below.
+    if _fused_step_enabled(cfg):
+        step_fn, cache = _make_fused_step(params, cfg, cache, cross_kv)
+    else:
+        def step_fn(last, pos, cache):
+            return decoder_forward(params, cfg, last, pos, cache, cross_kv)
+
     # ---- incremental loop (whisper.mojo:205-221) ----
     def cond(state):
         i, _, _, finished, _, _ = state
@@ -134,8 +206,7 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
     def body(state):
         i, tokens, cache, finished, sum_lp, rng = state
         last = jax.lax.dynamic_slice(tokens, (0, P + i), (B, 1))
-        logits, cache = decoder_forward(params, cfg, last, P + i,
-                                        cache, cross_kv)
+        logits, cache = step_fn(last, P + i, cache)
         rng, key = jax.random.split(rng)
         picked, lp = pick(logits, tokens, P + i + 1, key)
         nxt = jnp.where(finished, eot, picked)

@@ -378,21 +378,30 @@ def decoder_forward(params: Params, cfg: WhisperConfig,
         block, h, (dec["layers"], kv_cache, cross_kv),
         unroll=cfg.n_text_layers <= 8)
 
+    return final_logits(params, cfg, h), new_cache
+
+
+def final_logits(params: Params, cfg: WhisperConfig, h: jax.Array
+                 ) -> jax.Array:
+    """Final LayerNorm + tied-embedding logit projection, (B, T, d) ->
+    (B, T, vocab) fp32 — shared by decoder_forward, decoder_step_ragged and
+    the fused decode step (ops/decoder_step.py).
+
+    The tied-embedding matmul decides the argmax (reference keeps this
+    matmul deliberately simple too, whisper.mojo:162-166). fp32 mode runs
+    it at HIGHEST precision — the token-parity contract. bf16 mode streams
+    the embedding in bf16 with fp32 accumulation: the logit matmul is the
+    second-largest per-step HBM read (80 MB fp32 vs 40 MB bf16) and the
+    whole point of the bf16 path is bandwidth."""
+    dec = params["decoder"]
+    dtype = jnp.dtype(cfg.compute_dtype)
     h = layer_norm(h, dec["ln"]["g"], dec["ln"]["b"], cfg.ln_eps)
-    # Tied-embedding logit projection decides the argmax (reference keeps
-    # this matmul deliberately simple too, whisper.mojo:162-166). fp32 mode
-    # runs it at HIGHEST precision — the token-parity contract. bf16 mode
-    # streams the embedding in bf16 with fp32 accumulation: the logit matmul
-    # is the second-largest per-step HBM read (80 MB fp32 vs 40 MB bf16) and
-    # the whole point of the bf16 path is bandwidth.
     if dtype == jnp.float32:
-        logits = jnp.dot(h.astype(jnp.float32),
-                         dec["tok_emb"].T.astype(jnp.float32),
-                         precision=HIGHEST)
-    else:
-        logits = jnp.dot(h, dec["tok_emb"].T.astype(dtype),
-                         preferred_element_type=jnp.float32)
-    return logits, new_cache
+        return jnp.dot(h.astype(jnp.float32),
+                       dec["tok_emb"].T.astype(jnp.float32),
+                       precision=HIGHEST)
+    return jnp.dot(h, dec["tok_emb"].T.astype(dtype),
+                   preferred_element_type=jnp.float32)
 
 
 def decoder_step_ragged(params: Params, cfg: WhisperConfig,
@@ -452,12 +461,4 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
         block, h, (dec["layers"], kv_cache, cross_kv),
         unroll=cfg.n_text_layers <= 8)
 
-    h = layer_norm(h, dec["ln"]["g"], dec["ln"]["b"], cfg.ln_eps)
-    if dtype == jnp.float32:
-        logits = jnp.dot(h.astype(jnp.float32),
-                         dec["tok_emb"].T.astype(jnp.float32),
-                         precision=HIGHEST)
-    else:
-        logits = jnp.dot(h, dec["tok_emb"].T.astype(dtype),
-                         preferred_element_type=jnp.float32)
-    return logits, new_cache
+    return final_logits(params, cfg, h), new_cache

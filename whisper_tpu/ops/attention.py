@@ -49,14 +49,20 @@ def default_backend() -> str:
     return "auto" if jax.default_backend() == "tpu" else "reference"
 
 
-# Auto-policy thresholds, from A/B benchmarks on TPU v5e (see bench.py
-# variants): at Whisper-Tiny scale the XLA attention beats the Pallas
-# kernels — per-step kernel-launch overhead dominates a 448-slot cache, and
-# the batched-einsum encoder attention outruns the flash kernel at fp32 —
-# so Pallas engages only where its advantages bind: decode over long caches
-# (streaming the valid prefix) and prefill whose materialized score matrix
-# would pressure HBM.
-_DECODE_PALLAS_MIN_S = 4096          # cache slots
+# Auto-policy thresholds, from A/B benchmarks on TPU v5e (see
+# benchmarks/decode_kernels_ab.py and DESIGN.md §9): measured in
+# ISOLATION the VPU-vectorized batched-heads decode kernel beats XLA at
+# the Whisper self-attn shape (S=448: 12.4 vs 19.3 µs at b8, bf16), but
+# measured END-TO-END inside the jitted decode loop the all-XLA step
+# still wins (b8 tiny bf16: 2080 vs 1836 RTFx) — a pallas_call is a
+# fusion boundary, and XLA's freedom to fuse the attention into the
+# surrounding projections is worth more than the kernel's standalone
+# edge. So at Whisper cache sizes decode stays on XLA; the kernel
+# engages where its valid-prefix streaming binds (>=4096-slot caches,
+# where XLA must read the whole padded cache). Prefill/encoder uses the
+# flash kernel only when the materialized score matrix would pressure
+# HBM (measured: flash wins 1.5× at the large-v3-turbo encoder shape).
+_DECODE_PALLAS_MIN_S = 4096          # long caches: streaming wins
 _FLASH_MIN_SCORE_BYTES = 1 << 30     # B*H*T*S*4 (fp32 scores in HBM)
 
 

@@ -140,13 +140,19 @@ def _decode_kernel_bh(info_ref, q_ref, k_ref, v_ref, o_ref,
                       n_heads: int, prec):
     """Batched-heads variant: one program per (batch, kv-tile) computes ALL
     heads — n_heads x fewer kernel programs than the per-(b, h) grid, the
-    dispatch-overhead fix suggested by measurement (DESIGN.md §5). The head
-    loop is a static Python unroll inside the program; per-head matvecs are
-    tiny but launch-free.
+    dispatch-overhead fix suggested by measurement (DESIGN.md §5).
 
-    q_ref: (1, H, 1, D); k_ref/v_ref: (1, H, block_k, D); o_ref: (1, H, 1, D).
-    Scratch m_s/l_s: (H, 1); acc_s: (H, D).
+    The whole online-softmax update is vectorized across heads on the VPU:
+    scores are a broadcast multiply-reduce (q (H,1,D) * k (H,bk,D) summed
+    over D) rather than H tiny (1,D)x(D,bk) MXU matvecs — at q_len==1 the
+    MXU runs at 1/128 row occupancy, so the VPU formulation is both faster
+    and layout-friendlier (the per-head loop's (H,D)->(1,H,1,D) store
+    reshape is rejected by current Mosaic for bf16).
+
+    q_ref: (1, H, D); k_ref/v_ref: (1, H, block_k, D); o_ref: (1, H, D).
+    Scratch m_s/l_s: (H, 1); acc_s: (H, D). prec kept for signature parity.
     """
+    del prec
     j = pl.program_id(1)
     kv_len = info_ref[0]
 
@@ -160,34 +166,22 @@ def _decode_kernel_bh(info_ref, q_ref, k_ref, v_ref, o_ref,
     def _():
         k_pos = (j * block_k
                  + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1))
-        valid = k_pos < kv_len
-        qa = q_ref[0, :, 0, :].astype(jnp.float32) * scale    # (H, D)
-        ka = k_ref[0].astype(jnp.float32)                     # (H, bk, D)
+        valid = k_pos < kv_len                               # (1, bk)
+        qa = q_ref[0].astype(jnp.float32) * scale            # (H, D)
+        ka = k_ref[0].astype(jnp.float32)                    # (H, bk, D)
         va = v_ref[0].astype(jnp.float32)
-        m_prev, l_prev, acc_prev = m_s[...], l_s[...], acc_s[...]
-        new_m, new_l, new_acc = [], [], []
-        for h in range(n_heads):                     # static unroll
-            s = jax.lax.dot_general(
-                qa[h:h + 1], ka[h], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
-            s = jnp.where(valid, s, _MASK_VALUE)
-            mp = m_prev[h:h + 1]
-            m_new = jnp.maximum(mp, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(mp - m_new)
-            pv = jax.lax.dot_general(
-                p, va[h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
-            new_m.append(m_new)
-            new_l.append(l_prev[h:h + 1] * alpha
-                         + jnp.sum(p, axis=-1, keepdims=True))
-            new_acc.append(acc_prev[h:h + 1] * alpha + pv)
-        m_s[...] = jnp.concatenate(new_m, axis=0)
-        l_s[...] = jnp.concatenate(new_l, axis=0)
-        acc_s[...] = jnp.concatenate(new_acc, axis=0)
+        s = jnp.sum(qa[:, None, :] * ka, axis=-1)            # (H, bk)
+        s = jnp.where(valid, s, _MASK_VALUE)
+        m_prev, l_prev = m_s[...], l_s[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        m_s[...] = m_new
+        l_s[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[...] = (acc_s[...] * alpha
+                      + jnp.sum(p[:, :, None] * va, axis=1))  # (H, D)
 
-    o_ref[0, :, 0, :] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)
-                         ).astype(o_ref.dtype)
+    o_ref[0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
@@ -211,7 +205,7 @@ def decode_attention_bh(q: jax.Array, k: jax.Array, v: jax.Array,
         v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
     num_kv_tiles = s_pad // block_k
 
-    q4 = jnp.transpose(q, (0, 2, 1, 3))              # (B, H, 1, D)
+    q3 = q[:, 0]                                     # (B, H, D)
     info = jnp.asarray(kv_len, jnp.int32).reshape(1)
     prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None)
 
@@ -226,25 +220,25 @@ def decode_attention_bh(q: jax.Array, k: jax.Array, v: jax.Array,
             num_scalar_prefetch=1,
             grid=(B, num_kv_tiles),
             in_specs=[
-                pl.BlockSpec((1, H, 1, D), lambda b, j, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, D), lambda b, j, *_: (b, 0, 0)),
                 pl.BlockSpec((1, H, block_k, D), kv_index),
                 pl.BlockSpec((1, H, block_k, D), kv_index),
             ],
-            out_specs=pl.BlockSpec((1, H, 1, D),
-                                   lambda b, j, *_: (b, 0, 0, 0)),
+            out_specs=pl.BlockSpec((1, H, D),
+                                   lambda b, j, *_: (b, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((H, 1), jnp.float32),
                 pltpu.VMEM((H, 1), jnp.float32),
                 pltpu.VMEM((H, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(info, q4, k, v)
+    )(info, q3, k, v)
 
-    return jnp.transpose(out, (0, 2, 1, 3))
+    return out[:, None]                              # (B, 1, H, D)
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
@@ -323,7 +317,9 @@ def _decode_kernel_q8_bh(info_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
                          o_ref, m_s, l_s, acc_s, *, block_k: int,
                          scale: float, n_heads: int):
     """Batched-heads int8 variant: grid (B, kv_tiles), all heads per
-    program, int8 tiles + per-vector scales dequantized in VMEM."""
+    program, int8 tiles + per-vector scales dequantized in VMEM. Same
+    vectorized-across-heads VPU formulation as _decode_kernel_bh."""
+    del n_heads
     j = pl.program_id(1)
     kv_len = info_ref[0]
 
@@ -337,34 +333,22 @@ def _decode_kernel_q8_bh(info_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
     def _():
         k_pos = (j * block_k
                  + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1))
-        valid = k_pos < kv_len
-        qa = q_ref[0, :, 0, :].astype(jnp.float32) * scale    # (H, D)
-        ka = k_ref[0].astype(jnp.float32) * ks_ref[0]         # (H, bk, D)
+        valid = k_pos < kv_len                               # (1, bk)
+        qa = q_ref[0].astype(jnp.float32) * scale            # (H, D)
+        ka = k_ref[0].astype(jnp.float32) * ks_ref[0]        # (H, bk, D)
         va = v_ref[0].astype(jnp.float32) * vs_ref[0]
-        m_prev, l_prev, acc_prev = m_s[...], l_s[...], acc_s[...]
-        new_m, new_l, new_acc = [], [], []
-        for h in range(n_heads):
-            s = jax.lax.dot_general(
-                qa[h:h + 1], ka[h], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            s = jnp.where(valid, s, _MASK_VALUE)
-            mp = m_prev[h:h + 1]
-            m_new = jnp.maximum(mp, jnp.max(s, axis=-1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(mp - m_new)
-            pv = jax.lax.dot_general(
-                p, va[h], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            new_m.append(m_new)
-            new_l.append(l_prev[h:h + 1] * alpha
-                         + jnp.sum(p, axis=-1, keepdims=True))
-            new_acc.append(acc_prev[h:h + 1] * alpha + pv)
-        m_s[...] = jnp.concatenate(new_m, axis=0)
-        l_s[...] = jnp.concatenate(new_l, axis=0)
-        acc_s[...] = jnp.concatenate(new_acc, axis=0)
+        s = jnp.sum(qa[:, None, :] * ka, axis=-1)            # (H, bk)
+        s = jnp.where(valid, s, _MASK_VALUE)
+        m_prev, l_prev = m_s[...], l_s[...]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        m_s[...] = m_new
+        l_s[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[...] = (acc_s[...] * alpha
+                      + jnp.sum(p[:, :, None] * va, axis=1))
 
-    o_ref[0, :, 0, :] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)
-                         ).astype(o_ref.dtype)
+    o_ref[0] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
@@ -391,7 +375,7 @@ def decode_attention_q8_bh(q: jax.Array,
         v_scale = jnp.pad(v_scale, pad4)
     num_kv_tiles = s_pad // block_k
 
-    q4 = jnp.transpose(q, (0, 2, 1, 3))
+    q3 = q[:, 0]                                     # (B, H, D)
     info = jnp.asarray(kv_len, jnp.int32).reshape(1)
 
     def kv_index(b, j, info_ref):
@@ -405,27 +389,27 @@ def decode_attention_q8_bh(q: jax.Array,
             num_scalar_prefetch=1,
             grid=(B, num_kv_tiles),
             in_specs=[
-                pl.BlockSpec((1, H, 1, D), lambda b, j, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, D), lambda b, j, *_: (b, 0, 0)),
                 pl.BlockSpec((1, H, block_k, D), kv_index),
                 pl.BlockSpec((1, H, block_k, 1), kv_index),
                 pl.BlockSpec((1, H, block_k, D), kv_index),
                 pl.BlockSpec((1, H, block_k, 1), kv_index),
             ],
-            out_specs=pl.BlockSpec((1, H, 1, D),
-                                   lambda b, j, *_: (b, 0, 0, 0)),
+            out_specs=pl.BlockSpec((1, H, D),
+                                   lambda b, j, *_: (b, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((H, 1), jnp.float32),
                 pltpu.VMEM((H, 1), jnp.float32),
                 pltpu.VMEM((H, D), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(info, q4, k, k_scale, v, v_scale)
+    )(info, q3, k, k_scale, v, v_scale)
 
-    return jnp.transpose(out, (0, 2, 1, 3))
+    return out[:, None]                              # (B, 1, H, D)
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))

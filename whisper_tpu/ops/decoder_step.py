@@ -1,0 +1,422 @@
+"""Fused decoder-step megakernel (Pallas/TPU): ONE kernel program computes a
+full incremental decode step through ALL decoder layers — self-attention
+(with the new token's K/V folded in), cross-attention over the precomputed
+encoder K/V, and the MLP — leaving only the tied logit projection, rules and
+argmax outside.
+
+Why (VERDICT r1 Next #1): the XLA decode step at Whisper-Tiny batch 8 costs
+~1.09 ms against a ~0.2 ms HBM roofline — the gap is ~60 small fusion
+launches per step, each with fixed cost. This kernel replaces all of them
+with one program whose grid is (layers, kv-phases): per-layer weights are
+auto-pipelined into VMEM (resident across a layer's phases, prefetched
+during the previous layer's phases), self/cross cache tiles stream through
+double buffers, and the hidden state lives in VMEM scratch across the whole
+step. It is the TPU analogue of the reference's register-cached
+single-token decode path (reference layers.mojo:186-272) — scaled from one
+query head in SIMD registers to the entire decoder in VMEM.
+
+Mosaic-layout ground rules this kernel is built on (all measured/validated
+on the real v5e via ops/decode_attention.py and a VMEM probe):
+  * Lane-dimension reshapes ((B, H*Dh) -> (B*H, Dh)) are unsupported shape
+    casts. So projections are PER-HEAD matmuls against (L, H, d, Dh)
+    weights, attention rows live in a head-outer (H*B, ...) layout whose
+    per-head groups are contiguous leading-dim slices, and the output
+    projection is a sum of per-head (Dh, d) partial matmuls — no
+    activation ever changes its lane dimension.
+  * q[:, None, :] * k and p[:, :, None] * v broadcast-reduces compile and
+    beat per-head MXU matvecs at q_len==1 (decode_attention_bh: 12.4 us vs
+    XLA 19.3 us, self-attn shape, b8).
+  * v5e VMEM is ~128 MiB (a 120 MB scratch compiles), so per-layer weights
+    plus four double-buffered KV streams fit easily; vmem_limit_bytes=100MB.
+
+Numerics: bf16 rounding points match the XLA path (projection outputs,
+bias adds and residual adds round to bf16; LayerNorm and softmax statistics
+stay fp32), so greedy tokens agree with decoder_forward. The only
+accumulation-order differences are the online softmax (vs materialized) and
+head-blocked output projections — both fp32.
+
+Cache-layout contract: this kernel reads/writes the self-cache in
+HEAD-OUTER layout (L, H*B, S, Dh) (per-head rows contiguous); cross K/V the
+same. models/whisper.py converts after prefill (once per transcription).
+
+Masking follows the framework contract: (kv_len, causal, q_offset) scalars;
+dead self tiles are clamped to the last live tile (no DMA) and skipped
+(no compute), exactly like decode_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _erf(z):
+    """erf for Mosaic (neither lax.erf nor lax.erfc lower to TPU Pallas):
+    Abramowitz & Stegun 7.1.26 rational approximation, |error| <= 1.5e-7 —
+    ~50x below bf16 resolution, so bf16 GeLU outputs match true erf after
+    rounding except at measure-zero rounding boundaries."""
+    a = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+    zs = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * zs)
+    poly = t * (a[0] + t * (a[1] + t * (a[2] + t * (a[3] + t * a[4]))))
+    e = 1.0 - poly * jnp.exp(-zs * zs)
+    return jnp.sign(z) * e
+
+
+def _gelu_exact(x32, interpret: bool):
+    """Exact (erf) GeLU, matching models.whisper.gelu. Interpret mode (CPU
+    parity tests) uses the true erf; compiled Mosaic uses _erf."""
+    if interpret:
+        return jax.nn.gelu(x32, approximate=False)
+    return 0.5 * x32 * (1.0 + _erf(x32 * (2.0 ** -0.5)))
+
+
+def _ln(x32, g, b, eps):
+    """fp32 LayerNorm matching models.whisper.layer_norm numerics."""
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * g + b
+
+
+def _online_update(q_s, m_s, l_s, acc_s, kb, vb, valid):
+    """One online-softmax tile update, vectorized over all (h, b) rows.
+    kb/vb: (HB, bk, Dh); valid: (1, bk)."""
+    q = q_s[...]                                        # (HB, Dh) pre-scaled
+    s = jnp.sum(q[:, None, :] * kb.astype(jnp.float32), axis=-1)  # (HB, bk)
+    s = jnp.where(valid, s, _MASK_VALUE)
+    m_prev, l_prev = m_s[...], l_s[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    m_s[...] = m_new
+    l_s[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_s[...] = (acc_s[...] * alpha
+                  + jnp.sum(p[:, :, None] * vb.astype(jnp.float32), axis=1))
+
+
+def _kernel(info_ref,                                   # scalar prefetch
+            h0_ref, wq, wk, wv, wcq, wo, wco, fc1_w, fc2_w,
+            misch, miscd,
+            sk_ref, sv_ref, ck_ref, cv_ref,             # streamed inputs
+            hout_ref, knew_ref, vnew_ref,               # outputs
+            h_s, q_s, m_s, l_s, acc_s,                  # scratch
+            *, B: int, H: int, Dh: int, d: int, ff: int,
+            n_self: int, n_cross: int, bk_self: int, bk_cross: int,
+            s_cross: int, n_layers: int, eps: float, dtype, prec,
+            interpret: bool):
+    l = pl.program_id(0)
+    j = pl.program_id(1)
+    kv_len = info_ref[0]                 # includes the current token
+    scale = Dh ** -0.5
+    f32 = jnp.float32
+
+    def rnd(x32):
+        """Round fp32 to the compute dtype and re-upcast — replicates the
+        XLA path's bf16 storage points so tokens match."""
+        return x32.astype(dtype).astype(f32)
+
+    md = miscd[0, 0]                      # (Pd,) fp32 packed lane-wise params
+
+    def seg(off, n):
+        return md[off:off + n]
+
+    # miscd layout: [o_b | co_b | fc1_b | fc2_b | ln1_g ln1_b ln2_g ln2_b
+    #                ln3_g ln3_b]
+    o_ob, o_cob, o_fc1b, o_fc2b = 0, d, 2 * d, 2 * d + ff
+    o_ln = 3 * d + ff
+
+    def dot(x, w):
+        return jax.lax.dot_general(
+            x.astype(dtype), w, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+
+    def head_rows(hi):
+        return slice(hi * B, (hi + 1) * B)
+
+    # ---------------- phase j == 0: qkv projections, new-token seed -------
+    @pl.when(j == 0)
+    def _():
+        h = jnp.where(l == 0, h0_ref[...].astype(f32), h_s[...])
+        h_s[...] = h
+        y = rnd(_ln(h, seg(o_ln, d), seg(o_ln + d, d), eps))
+        for hi in range(H):                          # static unroll
+            rows = head_rows(hi)
+            qb = misch[0, hi, 0:1, :]                # (1, Dh) fp32
+            kb_ = misch[0, hi, 1:2, :]
+            vb_ = misch[0, hi, 2:3, :]
+            q_h = rnd(rnd(dot(y, wq[0, hi])) + rnd(qb))
+            k_h = rnd(rnd(dot(y, wk[0, hi])) + rnd(kb_))
+            v_h = rnd(rnd(dot(y, wv[0, hi])) + rnd(vb_))
+            knew_ref[0, rows] = k_h.astype(knew_ref.dtype)
+            vnew_ref[0, rows] = v_h.astype(vnew_ref.dtype)
+            qs = q_h * scale
+            q_s[rows] = qs
+            # seed the online softmax with the new token (sees itself)
+            s_new = jnp.sum(qs * k_h, axis=-1, keepdims=True)   # (B, 1)
+            m_s[rows] = s_new
+            l_s[rows] = jnp.ones_like(s_new)
+            acc_s[rows] = v_h
+
+    # ---------------- self-attention tiles (stale cache: kv_len-1 rows) ---
+    @pl.when(jnp.logical_and(j < n_self, j * bk_self < kv_len - 1))
+    def _():
+        k_pos = (j * bk_self
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, bk_self), 1))
+        _online_update(q_s, m_s, l_s, acc_s, sk_ref[0], sv_ref[0],
+                       k_pos < kv_len - 1)
+
+    # ---------------- finalize self, o-proj, start cross ------------------
+    @pl.when(j == n_self - 1)
+    def _():
+        a = acc_s[...] / jnp.maximum(l_s[...], 1e-30)        # (HB, Dh)
+        delta = jnp.zeros((B, d), f32)
+        for hi in range(H):
+            delta = delta + dot(rnd(a[head_rows(hi)]), wo[0, hi])
+        h = rnd(h_s[...] + rnd(rnd(delta) + rnd(seg(o_ob, d)[None, :])))
+        h_s[...] = h
+        y = rnd(_ln(h, seg(o_ln + 2 * d, d), seg(o_ln + 3 * d, d), eps))
+        for hi in range(H):
+            cqb = misch[0, hi, 3:4, :]
+            q2 = rnd(rnd(dot(y, wcq[0, hi])) + rnd(cqb))
+            q_s[head_rows(hi)] = q2 * scale
+        m_s[...] = jnp.full_like(m_s[...], _MASK_VALUE)
+        l_s[...] = jnp.zeros_like(l_s[...])
+        acc_s[...] = jnp.zeros_like(acc_s[...])
+
+    # ---------------- cross-attention tiles -------------------------------
+    @pl.when(j >= n_self)
+    def _():
+        t = j - n_self
+        k_pos = (t * bk_cross
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, bk_cross), 1))
+        _online_update(q_s, m_s, l_s, acc_s, ck_ref[0], cv_ref[0],
+                       k_pos < s_cross)
+
+    # ---------------- finalize cross + MLP --------------------------------
+    @pl.when(j == n_self + n_cross - 1)
+    def _():
+        a = acc_s[...] / jnp.maximum(l_s[...], 1e-30)
+        delta = jnp.zeros((B, d), f32)
+        for hi in range(H):
+            delta = delta + dot(rnd(a[head_rows(hi)]), wco[0, hi])
+        h = rnd(h_s[...] + rnd(rnd(delta) + rnd(seg(o_cob, d)[None, :])))
+        y = rnd(_ln(h, seg(o_ln + 4 * d, d), seg(o_ln + 5 * d, d), eps))
+        t1 = rnd(rnd(dot(y, fc1_w[0])) + rnd(seg(o_fc1b, ff)[None, :]))
+        t1 = rnd(_gelu_exact(t1, interpret))
+        t2 = rnd(rnd(dot(t1, fc2_w[0])) + rnd(seg(o_fc2b, d)[None, :]))
+        h = rnd(h + t2)
+        h_s[...] = h
+
+        @pl.when(l == n_layers - 1)
+        def _():
+            hout_ref[...] = h.astype(hout_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pick_block(HB: int, s: int, Dh: int, dtype_bytes: int) -> int:
+    """Tile size targeting ~4 MB per KV block (v5e VMEM ~128 MiB; four
+    double-buffered streams + resident weights stay well inside)."""
+    target = 4 * 1024 * 1024
+    bk = max(128, min(512, target // (HB * Dh * dtype_bytes) // 128 * 128))
+    return min(bk, _round_up(s, 128))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_layers", "n_heads", "eps", "interpret"))
+def fused_decoder_step(h0: jax.Array,
+                       wq, wk, wv, wcq, wo, wco, fc1_w, fc2_w,
+                       misch, miscd,
+                       self_k, self_v, cross_k, cross_v,
+                       kv_len, *, n_layers: int, n_heads: int,
+                       eps: float = 1e-5,
+                       interpret: bool = False):
+    """Run one fused decode step (see module docstring).
+
+    Args:
+      h0: (B, d) compute dtype — token embedding + positional embedding.
+      wq/wk/wv/wcq: (L, H, d, Dh); wo/wco: (L, H, Dh, d) — per-head weight
+        blocks, compute dtype (see split_weights).
+      fc1_w: (L, d, ff); fc2_w: (L, ff, d).
+      misch: (L, H, 4, Dh) fp32 — per-head [q_b, k_b, v_b, cq_b] rows.
+      miscd: (L, 1, Pd) fp32 — lane-wise [o_b | co_b | fc1_b | fc2_b |
+        ln1_g ln1_b ln2_g ln2_b ln3_g ln3_b].
+      self_k/self_v: (L, H*B, S_self, Dh) stale cache, HEAD-OUTER rows
+        (current token NOT yet written).
+      cross_k/cross_v: (L, H*B, S_cross, Dh), head-outer.
+      kv_len: scalar int32 — valid length INCLUDING the current token.
+    Returns:
+      h_out (B, d) compute dtype (pre-final-LayerNorm),
+      k_new, v_new: (L, H*B, Dh) — scatter at position kv_len - 1.
+    """
+    L, HB, S_self, Dh = self_k.shape
+    B, d = h0.shape
+    H = n_heads
+    ff = fc1_w.shape[2]
+    S_cross = cross_k.shape[2]
+    dtype = h0.dtype
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
+
+    bk_self = _pick_block(HB, S_self, Dh, jnp.dtype(self_k.dtype).itemsize)
+    bk_cross = _pick_block(HB, S_cross, Dh,
+                           jnp.dtype(cross_k.dtype).itemsize)
+    sp_self = _round_up(S_self, bk_self)
+    sp_cross = _round_up(S_cross, bk_cross)
+    n_self = sp_self // bk_self
+    n_cross = sp_cross // bk_cross
+
+    def pad_s(x, sp):
+        if x.shape[2] != sp:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, sp - x.shape[2]), (0, 0)))
+        return x
+
+    sk = pad_s(self_k, sp_self)
+    sv = pad_s(self_v, sp_self)
+    ck = pad_s(cross_k, sp_cross)
+    cv = pad_s(cross_v, sp_cross)
+    info = jnp.asarray(kv_len, jnp.int32).reshape(1)
+
+    def w_idx(l, j, info_ref):
+        del j, info_ref
+        return (l, 0, 0)
+
+    def wh_idx(l, j, info_ref):
+        del j, info_ref
+        return (l, 0, 0, 0)
+
+    def self_idx(l, j, info_ref):
+        live = jnp.maximum(pl.cdiv(info_ref[0] - 1, bk_self), 1) - 1
+        return (l, 0, jnp.minimum(jnp.minimum(j, n_self - 1), live), 0)
+
+    def cross_idx(l, j, info_ref):
+        del info_ref
+        return (l, 0, jnp.clip(j - n_self, 0, n_cross - 1), 0)
+
+    kern = functools.partial(
+        _kernel, B=B, H=H, Dh=Dh, d=d, ff=ff,
+        n_self=n_self, n_cross=n_cross, bk_self=bk_self, bk_cross=bk_cross,
+        s_cross=S_cross, n_layers=n_layers, eps=eps, dtype=dtype,
+        prec=prec, interpret=interpret)
+
+    Pd = miscd.shape[2]
+    h_out, k_new, v_new = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, n_self + n_cross),
+            in_specs=[
+                pl.BlockSpec((B, d), lambda l, j, *_: (0, 0)),      # h0
+                pl.BlockSpec((1, H, d, Dh), wh_idx),                # wq
+                pl.BlockSpec((1, H, d, Dh), wh_idx),                # wk
+                pl.BlockSpec((1, H, d, Dh), wh_idx),                # wv
+                pl.BlockSpec((1, H, d, Dh), wh_idx),                # wcq
+                pl.BlockSpec((1, H, Dh, d), wh_idx),                # wo
+                pl.BlockSpec((1, H, Dh, d), wh_idx),                # wco
+                pl.BlockSpec((1, d, ff), w_idx),                    # fc1
+                pl.BlockSpec((1, ff, d), w_idx),                    # fc2
+                pl.BlockSpec((1, H, 4, Dh), wh_idx),                # misch
+                pl.BlockSpec((1, 1, Pd), w_idx),                    # miscd
+                pl.BlockSpec((1, HB, bk_self, Dh), self_idx),       # sk
+                pl.BlockSpec((1, HB, bk_self, Dh), self_idx),       # sv
+                pl.BlockSpec((1, HB, bk_cross, Dh), cross_idx),     # ck
+                pl.BlockSpec((1, HB, bk_cross, Dh), cross_idx),     # cv
+            ],
+            out_specs=[
+                pl.BlockSpec((B, d), lambda l, j, *_: (0, 0)),      # h_out
+                pl.BlockSpec((1, HB, Dh), lambda l, j, *_: (l, 0, 0)),
+                pl.BlockSpec((1, HB, Dh), lambda l, j, *_: (l, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((B, d), jnp.float32),       # h
+                pltpu.VMEM((HB, Dh), jnp.float32),     # q (pre-scaled)
+                pltpu.VMEM((HB, 1), jnp.float32),      # m
+                pltpu.VMEM((HB, 1), jnp.float32),      # l
+                pltpu.VMEM((HB, Dh), jnp.float32),     # acc
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), dtype),
+            jax.ShapeDtypeStruct((L, HB, Dh), self_k.dtype),
+            jax.ShapeDtypeStruct((L, HB, Dh), self_v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(info, h0, wq, wk, wv, wcq, wo, wco, fc1_w, fc2_w, misch, miscd,
+      sk, sv, ck, cv)
+
+    return h_out, k_new, v_new
+
+
+# ---------------------------------------------------------------------------
+# operand preparation (once per transcription, outside the decode loop)
+# ---------------------------------------------------------------------------
+
+def split_weights(layers: dict, n_heads: int, dtype) -> tuple:
+    """Per-head weight blocks from a stacked decoder-layer pytree
+    ((in, out)-layout linears, weights.py contract).
+
+    Returns (wq, wk, wv, wcq) as (L, H, d, Dh) and (wo, wco) as
+    (L, H, Dh, d): the o/co matrices are split along their INPUT axis so
+    the kernel can accumulate per-head partial output projections."""
+    a, c = layers["attn"], layers["cross_attn"]
+    L, d, _ = a["q"]["w"].shape
+    Dh = d // n_heads
+
+    def cols(w):                        # (L, d, d) -> (L, H, d, Dh)
+        return (w.reshape(L, d, n_heads, Dh).transpose(0, 2, 1, 3)
+                .astype(dtype))
+
+    def rows(w):                        # (L, d, d) -> (L, H, Dh, d)
+        return w.reshape(L, n_heads, Dh, d).astype(dtype)
+
+    return (cols(a["q"]["w"]), cols(a["k"]["w"]), cols(a["v"]["w"]),
+            cols(c["q"]["w"]), rows(a["o"]["w"]), rows(c["o"]["w"]))
+
+
+def pack_misc(layers: dict, n_heads: int) -> tuple[jax.Array, jax.Array]:
+    """(misch, miscd) fp32 packed parameter arrays (layouts in the kernel
+    docstring). Values come from the live (possibly bf16) params so rounding
+    matches the XLA path."""
+    a, c = layers["attn"], layers["cross_attn"]
+    L, d = a["q"]["b"].shape
+    Dh = d // n_heads
+
+    def per_head(b):                    # (L, d) -> (L, H, 1, Dh)
+        return b.astype(jnp.float32).reshape(L, n_heads, 1, Dh)
+
+    misch = jnp.concatenate(
+        [per_head(a["q"]["b"]), per_head(a["k"]["b"]),
+         per_head(a["v"]["b"]), per_head(c["q"]["b"])], axis=2)  # (L,H,4,Dh)
+    parts = [
+        a["o"]["b"], c["o"]["b"], layers["fc1"]["b"], layers["fc2"]["b"],
+        layers["attn_ln"]["g"], layers["attn_ln"]["b"],
+        layers["cross_ln"]["g"], layers["cross_ln"]["b"],
+        layers["mlp_ln"]["g"], layers["mlp_ln"]["b"],
+    ]
+    miscd = jnp.concatenate([p.astype(jnp.float32) for p in parts],
+                            axis=-1)[:, None, :]                 # (L, 1, Pd)
+    return misch, miscd
+
+
+def to_head_outer(x: jax.Array) -> jax.Array:
+    """(L, B, H, S, Dh) framework cache layout -> (L, H*B, S, Dh) kernel
+    layout (head-outer rows; done once per transcription after prefill)."""
+    L, B, H, S, Dh = x.shape
+    return x.transpose(0, 2, 1, 3, 4).reshape(L, H * B, S, Dh)
+
+
+def from_head_outer(x: jax.Array, batch: int) -> jax.Array:
+    """(L, H*B, S, Dh) -> (L, B, H, S, Dh)."""
+    L, HB, S, Dh = x.shape
+    return x.reshape(L, HB // batch, batch, S, Dh).transpose(0, 2, 1, 3, 4)
