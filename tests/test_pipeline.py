@@ -63,3 +63,61 @@ def test_cli_random_weights(tmp_path):
         env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
     assert out.returncode == 0, out.stderr
     assert "tokens:" in out.stdout
+
+
+def test_vad_skips_silent_windows(nano_pipe, small_cfg):
+    """Energy VAD: a long clip whose middle window is silence produces
+    transcripts only for the voiced windows — and the silent window costs
+    zero decode calls (observable as one fewer SOT in the output)."""
+    sr = small_cfg.sample_rate
+    w = small_cfg.n_samples
+    voiced = (0.2 * np.sin(2 * np.pi * 330 * np.arange(w) / sr)
+              ).astype(np.float32)
+    silent = np.zeros(w, np.float32)
+    audio = np.concatenate([voiced, silent, voiced])
+    r = nano_pipe.transcribe(audio, max_new=4, vad_threshold_db=-40.0)
+    assert r.tokens.count(small_cfg.sot_token) == 2
+    # all-silence input: no windows decoded at all
+    r2 = nano_pipe.transcribe(silent, max_new=4, vad_threshold_db=-40.0)
+    assert r2.tokens == [] and r2.text == ""
+
+
+def test_energy_vad_unit():
+    from whisper_tpu.audio import energy_vad
+    sr = 16000
+    t = np.arange(sr) / sr
+    assert energy_vad((0.1 * np.sin(2 * np.pi * 220 * t)).astype(np.float32))
+    assert not energy_vad(np.zeros(sr, np.float32))
+    assert not energy_vad(np.zeros(0, np.float32))
+    # quiet noise below -40 dBFS is not speech
+    assert not energy_vad(
+        (np.random.RandomState(0).randn(sr) * 1e-4).astype(np.float32))
+
+
+def test_alignment_heads_sidecar(tmp_path):
+    """load/find_alignment_heads: bare list and HF generation_config.json
+    forms, plus auto-detection next to a checkpoint path."""
+    import json
+    from whisper_tpu.alignment import (find_alignment_heads,
+                                       load_alignment_heads)
+    bare = tmp_path / "alignment_heads.json"
+    bare.write_text(json.dumps([[2, 1], [3, 0]]))
+    assert load_alignment_heads(str(bare)) == [(2, 1), (3, 0)]
+
+    gen = tmp_path / "generation_config.json"
+    gen.write_text(json.dumps({"alignment_heads": [[1, 4]]}))
+    assert load_alignment_heads(str(gen)) == [(1, 4)]
+
+    # auto-detect prefers alignment_heads.json over generation_config.json
+    found = find_alignment_heads(str(tmp_path / "model.npz"))
+    assert found == [(2, 1), (3, 0)]
+
+    bad = tmp_path / "bad.json"
+    bad.write_text("{}")
+    with pytest.raises(ValueError):
+        load_alignment_heads(str(bad))
+
+
+def test_find_alignment_heads_absent(tmp_path):
+    from whisper_tpu.alignment import find_alignment_heads
+    assert find_alignment_heads(str(tmp_path / "model.npz")) is None

@@ -226,3 +226,41 @@ def word_timestamps(params, cfg: WhisperConfig, tokenizer,
             tokens=group))
         k += len(group)
     return out
+
+
+def load_alignment_heads(path: str) -> list[tuple[int, int]]:
+    """Load official per-model alignment heads from a JSON sidecar.
+
+    Accepts either a bare list [[layer, head], ...] or a HF
+    generation_config.json containing an "alignment_heads" key (the
+    convention HF transformers uses to carry openai/whisper's published
+    head tables — transformers/models/whisper/generation_whisper.py:1157).
+    The tables themselves ship with checkpoints, not libraries, so this
+    stays a sidecar: next to a real checkpoint, drop the model's
+    generation_config.json and word timestamps sharpen from the
+    upper-half-layers fallback to the official heads."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    if isinstance(data, dict):
+        data = data.get("alignment_heads")
+        if data is None:
+            raise ValueError(f"{path}: no 'alignment_heads' key")
+    return [(int(l), int(h)) for l, h in data]
+
+
+def find_alignment_heads(weights_path: str) -> Optional[list[tuple[int, int]]]:
+    """Auto-detect an alignment-heads sidecar next to a checkpoint file:
+    <dir>/alignment_heads.json, then <dir>/generation_config.json."""
+    import os
+
+    d = os.path.dirname(os.path.abspath(weights_path))
+    for name in ("alignment_heads.json", "generation_config.json"):
+        p = os.path.join(d, name)
+        if os.path.exists(p):
+            try:
+                return load_alignment_heads(p)
+            except (ValueError, KeyError):
+                continue
+    return None

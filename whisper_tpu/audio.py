@@ -141,3 +141,29 @@ def pad_or_trim(audio: np.ndarray, n_samples: int) -> np.ndarray:
     if audio.shape[0] >= n_samples:
         return audio[:n_samples]
     return np.pad(audio, (0, n_samples - audio.shape[0]))
+
+
+def energy_vad(audio: np.ndarray, sample_rate: int = 16_000,
+               frame_ms: float = 30.0, threshold_db: float = -40.0,
+               min_speech_frames: int = 3) -> bool:
+    """Host-side energy voice-activity gate: True if the clip plausibly
+    contains speech (capability extension — the reference decodes silence
+    like any other window).
+
+    A window counts as speech when at least `min_speech_frames` frames of
+    `frame_ms` exceed `threshold_db` dBFS RMS (audio in [-1, 1]). This is
+    the cheap pre-filter the long-form pipeline uses to skip silent 30 s
+    windows entirely (no mel, no encoder, no decode); the model-based
+    no_speech_prob gate still runs on windows that pass."""
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    if audio.size == 0:
+        return False
+    frame = max(int(sample_rate * frame_ms / 1000.0), 1)
+    n = (audio.size // frame) * frame
+    if n == 0:
+        frames = audio[None, :]
+    else:
+        frames = audio[:n].reshape(-1, frame)
+    rms = np.sqrt(np.mean(np.square(frames), axis=1) + 1e-12)
+    db = 20.0 * np.log10(rms + 1e-12)
+    return int((db > threshold_db).sum()) >= min_speech_frames

@@ -67,6 +67,14 @@ def main(argv=None) -> int:
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (fused dequant kernel on TPU)")
     p.add_argument("--seed", type=int, default=0, help="sampling seed")
+    p.add_argument("--vad-db", type=float, default=None, metavar="DB",
+                   help="energy VAD gate: skip 30 s windows whose frames "
+                        "never exceed this dBFS (e.g. -40); silent windows "
+                        "cost zero compute")
+    p.add_argument("--no-speech-threshold", type=float, default=None,
+                   metavar="P", help="drop a window's text when "
+                        "P(<|nospeech|>) exceeds P and avg logprob is low "
+                        "(openai semantics)")
     args = p.parse_args(argv)
 
     from whisper_tpu.config import get_config
@@ -124,7 +132,9 @@ def main(argv=None) -> int:
     r = pipe.transcribe(wav, args.language, args.task, max_new=args.max_new,
                         opts=opts,
                         condition_on_previous=args.condition_on_previous,
-                        word_timestamps=args.word_timestamps)
+                        word_timestamps=args.word_timestamps,
+                        no_speech_threshold=args.no_speech_threshold,
+                        vad_threshold_db=args.vad_db)
     print(f"timings: {r.timings}")
     print("tokens:", r.tokens)
     print("text:", r.text)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from whisper_tpu.audio import log_mel_spectrogram, pad_or_trim
+from whisper_tpu.audio import energy_vad, log_mel_spectrogram, pad_or_trim
 from whisper_tpu.config import WhisperConfig, get_config
 from whisper_tpu.decode import (
     decode_from_encoder,
@@ -63,10 +63,14 @@ class Transcription:
 
 class WhisperPipeline:
     def __init__(self, cfg: WhisperConfig | str, params,
-                 tokenizer: Optional[Tokenizer] = None):
+                 tokenizer: Optional[Tokenizer] = None,
+                 alignment_heads: Optional[Sequence[tuple]] = None):
         self.cfg = get_config(cfg) if isinstance(cfg, str) else cfg
         self.params = params
         self.tokenizer = tokenizer or Tokenizer(config=self.cfg)
+        # official (layer, head) word-alignment table when a checkpoint
+        # sidecar provides one; None = upper-half-layers fallback
+        self.alignment_heads = alignment_heads
 
     # ---- constructors (model: family name or a full WhisperConfig) ----
     @classmethod
@@ -74,16 +78,20 @@ class WhisperPipeline:
                       vocab_path: Optional[str] = None) -> "WhisperPipeline":
         """Load a reference-format headerless fp32 weight blob
         (SURVEY.md §2.5 contract)."""
+        from whisper_tpu.alignment import find_alignment_heads
         cfg = get_config(model) if isinstance(model, str) else model
         params = weights_lib.from_flat_bin_path(path, cfg)
         return cls(cfg, weights_lib.to_device(params),
-                   Tokenizer(vocab_path, config=cfg))
+                   Tokenizer(vocab_path, config=cfg),
+                   alignment_heads=find_alignment_heads(path))
 
     @classmethod
     def from_npz(cls, path: str, model="tiny") -> "WhisperPipeline":
+        from whisper_tpu.alignment import find_alignment_heads
         cfg = get_config(model) if isinstance(model, str) else model
         params = weights_lib.load_npz(path, cfg)
-        return cls(cfg, weights_lib.to_device(params))
+        return cls(cfg, weights_lib.to_device(params),
+                   alignment_heads=find_alignment_heads(path))
 
     @classmethod
     def from_random(cls, model="tiny", seed: int = 0) -> "WhisperPipeline":
@@ -187,6 +195,7 @@ class WhisperPipeline:
             secs = min(len(audio) / cfg.sample_rate, cfg.chunk_length_s)
             words = _align(self.params, cfg, self.tokenizer, ids, enc_out,
                            audio_seconds=max(secs, 1.0),
+                           alignment_heads=self.alignment_heads,
                            prompt_len=prompt.shape[1])
             for w in words:
                 w.start += window_offset_s
@@ -210,7 +219,8 @@ class WhisperPipeline:
                    fallback_temperatures: Sequence[float] = (),
                    initial_prompt: Optional[str] = None,
                    word_timestamps: bool = False,
-                   no_speech_threshold: Optional[float] = None) -> Transcription:
+                   no_speech_threshold: Optional[float] = None,
+                   vad_threshold_db: Optional[float] = None) -> Transcription:
         """Long-form: sliding 30 s windows, optionally conditioning each
         window on the previous window's text via <|startofprev|>
         (capability extension; the reference hard-caps input at one window,
@@ -234,6 +244,15 @@ class WhisperPipeline:
         while seek < max(len(audio), 1):
             offset_s = seek / cfg.sample_rate
             chunk = audio[seek:seek + cfg.n_samples]
+            if vad_threshold_db is not None and not energy_vad(
+                    chunk, cfg.sample_rate, threshold_db=vad_threshold_db):
+                # silent window: skip mel/encode/decode entirely (VAD gate;
+                # the model-based no_speech gate still covers borderline
+                # windows that pass this cheap filter)
+                seek += cfg.n_samples
+                if len(chunk) < cfg.n_samples:
+                    break
+                continue
             r = self.transcribe_window(
                 chunk, language, task, max_new=max_new,
                 opts=opts, prev_tokens=prev,
