@@ -236,7 +236,8 @@ class WhisperPipeline:
         all_words: list = []
         all_segments: list = []
         # initial_prompt text conditions the first window via <|startofprev|>
-        prev: tuple = (tuple(self.tokenizer.encode_greedy(initial_prompt))
+        # (canonical BPE — segmentations match model training, tokenizer.py)
+        prev: tuple = (tuple(self.tokenizer.encode(initial_prompt))
                        if initial_prompt else ())
         timings = {"mel_s": 0.0, "decode_s": 0.0, "detok_s": 0.0, "total_s": 0.0}
         seek = 0

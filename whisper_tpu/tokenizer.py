@@ -140,16 +140,72 @@ class Tokenizer:
             idx.setdefault(tok.replace("\\n", "\n"), tid)
         return idx
 
-    def encode_greedy(self, text: str) -> list[int]:
-        """Longest-match greedy encoding over the vocab table.
+    @functools.cached_property
+    def _merge_ranks(self) -> dict[tuple[str, str], int]:
+        """Merge table RECONSTRUCTED from vocab order (vocab.txt carries no
+        merges file — neither does the reference, tokenizer.mojo:4-28 is
+        decode-only). A BPE vocab lists tokens in merge-creation order, so
+        each multi-unit token's producing merge is recoverable as the split
+        (a, b) minimizing max(id(a), id(b)) — both halves must already
+        exist when the merge fires, and the latest-created half determines
+        when the token becomes constructible. Exact for vocabs actually
+        built by BPE; tokens with no in-vocab split (none in the shipped
+        multilingual vocab's text region) simply get no merge."""
+        vocab = self._vocab_index
+        ranks: dict[tuple[str, str], int] = {}
+        for tok, tid in sorted(vocab.items(), key=lambda kv: kv[1]):
+            if len(tok) < 2:
+                continue
+            best = None
+            for i in range(1, len(tok)):
+                a, b = vocab.get(tok[:i]), vocab.get(tok[i:])
+                if a is not None and b is not None and a < tid and b < tid:
+                    key = max(a, b)
+                    if best is None or key < best[0]:
+                        best = (key, i)
+            if best is not None:
+                pair = (tok[:best[1]], tok[best[1]:])
+                ranks.setdefault(pair, len(ranks))
+        return ranks
 
-        NOT canonical BPE (vocab.txt carries no merge ranks — the reference
-        ships none, tokenizer.mojo is decode-only); any greedy segmentation
-        decodes back to the same text, which is all prompt conditioning
-        needs. decode(encode_greedy(t)) == t for encodable text."""
+    _PRETOK = None          # compiled GPT-2 pre-tokenizer pattern (lazy)
+
+    def encode(self, text: str) -> list[int]:
+        """Canonical byte-level BPE encode: GPT-2 pre-tokenizer split, then
+        lowest-rank-first pair merging under the reconstructed merge table
+        (see _merge_ranks). decode(encode(t)) == t for all text; unlike
+        encode_greedy, segmentations match what the model saw in training,
+        which is what initial_prompt / prev-text conditioning should feed
+        it."""
+        import regex
+        if Tokenizer._PRETOK is None:
+            Tokenizer._PRETOK = regex.compile(
+                r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"
+                r" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+")
         be = self._byte_encoder_table
         vocab = self._vocab_index
-        units = "".join(be.get(b, "?") for b in text.encode("utf-8"))
+        ranks = self._merge_ranks
+        out: list[int] = []
+        for word in Tokenizer._PRETOK.findall(text):
+            parts = [be.get(b, "?") for b in word.encode("utf-8")]
+            while len(parts) > 1:
+                pairs = [(ranks.get((parts[i], parts[i + 1]), 1 << 60), i)
+                         for i in range(len(parts) - 1)]
+                rank, i = min(pairs)
+                if rank >= 1 << 60:
+                    break
+                parts[i:i + 2] = [parts[i] + parts[i + 1]]
+            for p in parts:
+                tid = vocab.get(p)
+                if tid is not None:
+                    out.append(tid)
+                else:           # symbol never reached vocab: greedy rescue
+                    out.extend(self._greedy_units(p))
+        return out
+
+    def _greedy_units(self, units: str) -> list[int]:
+        """Longest-match greedy over an already byte-mapped unit string."""
+        vocab = self._vocab_index
         out: list[int] = []
         i = 0
         max_len = max((len(t) for t in vocab), default=1)
@@ -163,6 +219,17 @@ class Tokenizer:
             else:
                 i += 1          # unencodable unit: skip
         return out
+
+    def encode_greedy(self, text: str) -> list[int]:
+        """Longest-match greedy encoding over the vocab table.
+
+        NOT canonical BPE (see encode() for that); any greedy segmentation
+        decodes back to the same text, which is all prompt conditioning
+        strictly needs. decode(encode_greedy(t)) == t for encodable
+        text. Kept as encode()'s rescue path and for A/B."""
+        be = self._byte_encoder_table
+        units = "".join(be.get(b, "?") for b in text.encode("utf-8"))
+        return self._greedy_units(units)
 
 
 def split_segments(cfg: WhisperConfig, ids: Sequence[int],
