@@ -1,0 +1,93 @@
+"""HTTP serving daemon (whisper_tpu/server.py) end-to-end over a real
+socket: POST WAV bytes and JSON-b64 forms, health/stats, error paths."""
+
+import io
+import json
+import base64
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+
+def _wav_bytes(seconds=1.0, freq=330.0, sr=16000):
+    t = np.arange(int(sr * seconds)) / sr
+    x = (0.3 * np.sin(2 * np.pi * freq * t) * 32000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def server(small_cfg):
+    import jax
+    from whisper_tpu.models.whisper import init_params
+    from whisper_tpu.serving import BatchedTranscriber
+    from whisper_tpu.server import TranscriptionServer
+
+    params = init_params(small_cfg, jax.random.PRNGKey(0))
+    bt = BatchedTranscriber(params, small_cfg, max_batch=2, max_new=4)
+    with TranscriptionServer(bt, small_cfg, host="127.0.0.1", port=0) as s:
+        yield s
+
+
+def _post(port, path, data, ctype):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=data,
+        headers={"Content-Type": ctype}, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert r.status == 200 and body["status"] == "ok"
+
+
+def test_transcribe_wav_body(server, small_cfg):
+    status, body = _post(server.port, "/v1/audio/transcriptions?language=en",
+                         _wav_bytes(), "audio/wav")
+    assert status == 200
+    assert body["tokens"][:4] == [50258, 50259, 50359, 50363]
+    assert isinstance(body["text"], str) and body["batch_size"] >= 1
+
+
+def test_transcribe_json_b64(server):
+    payload = json.dumps({
+        "audio_b64": base64.b64encode(_wav_bytes(freq=440.0)).decode(),
+        "language": "en", "task": "transcribe"}).encode()
+    status, body = _post(server.port, "/v1/audio/transcriptions",
+                         payload, "application/json")
+    assert status == 200 and body["tokens"][0] == 50258
+
+
+def test_bad_request_does_not_kill_engine(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server.port, "/v1/audio/transcriptions",
+              b"not a wav", "audio/wav")
+    assert e.value.code == 400
+    # engine still alive
+    status, _ = _post(server.port, "/v1/audio/transcriptions",
+                      _wav_bytes(), "audio/wav")
+    assert status == 200
+
+
+def test_stats_counts(server):
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/v1/stats", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["completed"] >= 3 and body["failed"] >= 1
+    assert body["in_flight"] == 0
+
+
+def test_unknown_path_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server.port, "/nope", b"", "text/plain")
+    assert e.value.code == 404

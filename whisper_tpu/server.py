@@ -1,0 +1,216 @@
+"""HTTP serving daemon: a REST front over the dynamic batcher.
+
+The reference has no serving story at all (one-shot CLI, main.mojo:1-43);
+production deployment needs a long-lived process that amortizes compilation
+across requests and batches concurrent callers onto the chip. This is that
+process, stdlib-only (http.server) so it runs anywhere the framework does:
+
+    python -m whisper_tpu.server --flat-bin weights.bin --port 9000
+    curl -s -X POST --data-binary @clip.wav -H 'Content-Type: audio/wav' \
+        'http://localhost:9000/v1/audio/transcriptions?language=en'
+
+Endpoints
+    POST /v1/audio/transcriptions   body = WAV bytes (any sample rate /
+        channels — decoded+resampled by the native loader), or JSON
+        {"audio_b64": ..., "language": ..., "task": ...}. Query params
+        language/task override. Returns {"text", "tokens", "queued_s",
+        "batch_size"}.
+    GET  /healthz                   {"status": "ok", "model": ...}
+    GET  /v1/stats                  request counters + batcher config.
+
+Concurrency model: HTTP threads (ThreadingHTTPServer) block on
+BatchedTranscriber futures; the batcher's single worker thread groups
+whatever arrives within max_wait_ms into one padded-batch TPU dispatch
+(serving.py). Errors propagate per-request as HTTP 4xx/5xx, never killing
+the engine.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import os
+import tempfile
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import jax
+import numpy as np
+
+# The axon TPU plugin's sitecustomize force-sets jax_platforms="axon,cpu",
+# silently overriding a user's JAX_PLATFORMS=cpu. Honor the documented env
+# var semantics: an explicit JAX_PLATFORMS wins (same re-pin as cli.py).
+_env_platforms = os.environ.get("JAX_PLATFORMS", "").strip()
+if _env_platforms:
+    try:
+        jax.config.update("jax_platforms", _env_platforms)
+    except Exception:
+        pass
+
+
+class _Stats:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.received = 0
+        self.completed = 0
+        self.failed = 0
+
+    def snapshot(self) -> dict:
+        with self.lock:
+            return {"received": self.received, "completed": self.completed,
+                    "failed": self.failed,
+                    "in_flight": self.received - self.completed - self.failed}
+
+
+def _decode_wav_bytes(data: bytes, sample_rate: int) -> np.ndarray:
+    """WAV bytes -> mono float32 @ sample_rate via the native loader
+    (falls back to the pure-Python WAV path inside load_audio)."""
+    from whisper_tpu.native import load_audio
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        f.write(data)
+        f.flush()
+        return load_audio(f.name, sample_rate)
+
+
+def make_handler(transcriber, cfg, stats: _Stats):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):        # quiet by default
+            pass
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = urlparse(self.path).path
+            if path == "/healthz":
+                self._json(200, {"status": "ok", "model": cfg.name})
+            elif path == "/v1/stats":
+                self._json(200, {**stats.snapshot(),
+                                 "max_batch": transcriber.max_batch,
+                                 "max_wait_ms": transcriber.max_wait_s * 1e3})
+            else:
+                self._json(404, {"error": f"no such path: {path}"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/v1/audio/transcriptions":
+                self._json(404, {"error": f"no such path: {url.path}"})
+                return
+            with stats.lock:
+                stats.received += 1
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n)
+                q = {k: v[0] for k, v in parse_qs(url.query).items()}
+                ctype = self.headers.get("Content-Type", "")
+                language, task = q.get("language", "en"), \
+                    q.get("task", "transcribe")
+                if ctype.startswith("application/json"):
+                    req = json.loads(raw)
+                    audio = _decode_wav_bytes(
+                        base64.b64decode(req["audio_b64"]), cfg.sample_rate)
+                    language = req.get("language", language)
+                    task = req.get("task", task)
+                else:
+                    audio = _decode_wav_bytes(raw, cfg.sample_rate)
+            except Exception as e:          # malformed request
+                with stats.lock:
+                    stats.failed += 1
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                res = transcriber.transcribe(audio, language, task)
+                with stats.lock:
+                    stats.completed += 1
+                self._json(200, {"text": res.text, "tokens": res.tokens,
+                                 "queued_s": res.queued_s,
+                                 "batch_size": res.batch_size})
+            except Exception as e:          # engine-side failure
+                with stats.lock:
+                    stats.failed += 1
+                self._json(500, {"error": str(e)})
+
+    return Handler
+
+
+class TranscriptionServer:
+    """Owns the HTTP server + batcher pair; serve_forever() or use as a
+    context manager (tests bind port 0 and read .port)."""
+
+    def __init__(self, transcriber, cfg, host: str = "0.0.0.0",
+                 port: int = 9000):
+        self.transcriber = transcriber
+        self.stats = _Stats()
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(transcriber, cfg, self.stats))
+        self.port = self.httpd.server_address[1]
+
+    def serve_forever(self):
+        self.httpd.serve_forever()
+
+    def __enter__(self):
+        self._t = threading.Thread(target=self.httpd.serve_forever,
+                                   daemon=True)
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.transcriber.close()
+
+
+def main(argv: Optional[list] = None) -> int:
+    p = argparse.ArgumentParser(prog="whisper_tpu.server")
+    p.add_argument("--model", default="tiny")
+    p.add_argument("--weights", help="npz checkpoint")
+    p.add_argument("--flat-bin", help="reference-format weight blob")
+    p.add_argument("--random-weights", action="store_true")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=9000)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-wait-ms", type=float, default=10.0)
+    p.add_argument("--max-new", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from whisper_tpu.pipeline import WhisperPipeline
+    from whisper_tpu.serving import BatchedTranscriber
+
+    if args.flat_bin:
+        pipe = WhisperPipeline.from_flat_bin(args.flat_bin, args.model)
+    elif args.weights:
+        pipe = WhisperPipeline.from_npz(args.weights, args.model)
+    elif args.random_weights:
+        pipe = WhisperPipeline.from_random(args.model)
+    else:
+        p.error("need one of --weights / --flat-bin / --random-weights")
+
+    bt = BatchedTranscriber(pipe.params, pipe.cfg, pipe.tokenizer,
+                            max_batch=args.max_batch,
+                            max_wait_ms=args.max_wait_ms,
+                            max_new=args.max_new)
+    srv = TranscriptionServer(bt, pipe.cfg, args.host, args.port)
+    print(f"serving {pipe.cfg.name} on {args.host}:{srv.port} "
+          f"(backend={jax.default_backend()})", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        bt.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
