@@ -1,0 +1,238 @@
+"""Phase decomposition of the e2e transcription pipeline on the real TPU.
+
+Round-2 finding (fused_step_ab.py): the clean chained decode step costs
+311 us at tiny bf16 b8 — i.e. the 89-step decode loop is ~28 ms of an
+~114 ms e2e clip batch. This harness times every phase separately so the
+remaining ~75% is attributed instead of guessed:
+
+    mel        log-mel frontend (device STFT matmul)
+    encoder    conv stem + 4 transformer layers
+    cross_kv   per-layer cross-attention K/V precompute
+    prefill    decoder_forward over the 4-token prompt
+    logits     one tied-vocab projection (B, 1, V)
+    step       one incremental decode step incl. logits+argmax (scan chain)
+    greedy     full greedy_decode call (prefill + 89-token loop)
+    e2e        mel+encoder+greedy in ONE jit (bench.py's program)
+
+Timing: each phase runs N chained iterations inside one jit (the output
+feeds the next input through a numerically-negligible but un-CSE-able
+carry), two chain lengths cancel the ~30 ms axon dispatch cost. The
+`e2e`/`greedy` rows also report a single-dispatch wall (what bench.py
+sees, including the tunnel's fixed cost) so dispatch overhead is visible
+as the difference.
+
+Usage: python benchmarks/phases.py [--batch 8] [--iters 32] [--out file]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from whisper_tpu.audio import log_mel_spectrogram
+from whisper_tpu.config import get_config
+from whisper_tpu.decode import greedy_decode
+from whisper_tpu.models.whisper import (
+    decoder_forward,
+    encoder_forward,
+    final_logits,
+    init_kv_cache,
+    init_params,
+    precompute_cross_kv,
+)
+from whisper_tpu.tokenizer import build_prompt
+from whisper_tpu.weights import to_device
+
+GEN_TOKENS = 89
+
+
+def chain_time(make_body, iters: int) -> float:
+    """Median wall of N chained body() calls inside one jit, slope-corrected
+    with a short chain to cancel fixed dispatch cost. make_body() returns
+    (x0, body) where body(x, c) -> (x_next, c_next); c is a scalar carry
+    that makes iterations data-dependent (so XLA cannot CSE/hoist) while
+    perturbing nothing numerically."""
+
+    def runner(n):
+        x0, body = make_body()
+
+        @jax.jit
+        def run(x):
+            def f(carry, _):
+                x, c = carry
+                return body(x, c), ()
+            (xn, cn), _ = jax.lax.scan(f, (x, jnp.float32(0)), None, length=n)
+            return cn
+        return run, x0
+
+    def wall(n):
+        run, x0 = runner(n)
+        run(x0).block_until_ready()
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run(x0).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    return max(wall(iters) - wall(iters // 4), 0.0) / (iters - iters // 4)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--iters", type=int, default=32)
+    p.add_argument("--model", default="tiny")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--attn", default=None,
+                   help="attn backend override (reference|pallas|auto)")
+    p.add_argument("--phases", default=None,
+                   help="comma list to run (default: all)")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+    B = args.batch
+    only = set(args.phases.split(",")) if args.phases else None
+
+    cfg = get_config(args.model).replace(compute_dtype=args.dtype,
+                                         attn_backend=args.attn)
+    dtype = jnp.dtype(args.dtype)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    if args.dtype != "float32":
+        params = to_device(params, dtype)
+    prompt = jnp.asarray(np.tile(build_prompt(cfg), (B, 1)), jnp.int32)
+    rng = np.random.RandomState(0)
+    audio = jnp.asarray((rng.randn(B, cfg.n_samples) * 0.1
+                         ).astype(np.float32))
+    mel = log_mel_spectrogram(audio, cfg)
+    enc = encoder_forward(params, cfg, mel)
+    cross = precompute_cross_kv(params, cfg, enc)
+    h = jax.random.normal(jax.random.PRNGKey(2), (B, 1, cfg.d_model), dtype)
+
+    def eps(c):
+        # data-dependent, numerically absorbed perturbation
+        return (c * 1e-30).astype(jnp.float32)
+
+    rows = []
+
+    def report(name, seconds, note=""):
+        row = {"phase": name, "batch": B,
+               "us": round(seconds * 1e6, 1)}
+        if note:
+            row["note"] = note
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    def want(name):
+        return only is None or name in only
+
+    # ---- mel ----
+    def mk_mel():
+        def body(x, c):
+            m = log_mel_spectrogram(x + eps(c), cfg)
+            return x, jnp.mean(m[0, 0, :8]).astype(jnp.float32)
+        return audio, body
+    if want("mel"):
+        report("mel", chain_time(mk_mel, args.iters))
+
+    # ---- encoder ----
+    def mk_enc():
+        def body(x, c):
+            e = encoder_forward(params, cfg, x + eps(c))
+            return x, e[0, 0, 0].astype(jnp.float32)
+        return mel, body
+    if want("encoder"):
+        report("encoder", chain_time(mk_enc, args.iters))
+
+    # ---- cross-kv precompute ----
+    def mk_cross():
+        def body(x, c):
+            kv = precompute_cross_kv(params, cfg, x + eps(c).astype(x.dtype))
+            return x, kv["k"][0, 0, 0, 0, 0].astype(jnp.float32)
+        return enc, body
+    if want("cross_kv"):
+        report("cross_kv", chain_time(mk_cross, args.iters))
+
+    # ---- prefill (4-token decoder forward, fresh cache) ----
+    def mk_prefill():
+        cache0 = init_kv_cache(cfg, B, dtype=dtype)
+
+        def body(x, c):
+            x2 = jax.tree.map(lambda a: a + eps(c).astype(a.dtype), x)
+            logits, _ = decoder_forward(params, cfg, prompt, jnp.int32(0),
+                                        cache0, x2)
+            return x, logits[0, -1, 0].astype(jnp.float32)
+        return cross, body
+    if want("prefill"):
+        report("prefill", chain_time(mk_prefill, args.iters),
+               note="cross kv reused; cache write discarded")
+
+    # ---- logits projection ----
+    def mk_logits():
+        def body(x, c):
+            l = final_logits(params, cfg, x + eps(c).astype(x.dtype))
+            return x, l[0, 0, 0].astype(jnp.float32)
+        return h, body
+    if want("logits"):
+        report("logits", chain_time(mk_logits, args.iters))
+
+    # ---- full greedy (single dispatch, wall) ----
+    @jax.jit
+    def greedy(p_, e_, pr_):
+        bias = jnp.zeros((cfg.vocab_size,), jnp.float32)
+        bias = bias.at[cfg.eot_token].set(-1e9)
+        return greedy_decode(p_, cfg, e_, pr_, max_new=GEN_TOKENS - 1,
+                             logit_bias=bias)
+
+    if want("greedy"):
+        greedy(params, enc, prompt).tokens.block_until_ready()
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            greedy(params, enc, prompt).tokens.block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        g = float(np.median(ts))
+        report("greedy_wall", g, note=f"{GEN_TOKENS} tokens, single "
+               f"dispatch incl. ~30ms tunnel cost; per-step upper bound "
+               f"{g / GEN_TOKENS * 1e6:.0f}us")
+
+    # ---- e2e (bench.py's program, single dispatch) ----
+    @jax.jit
+    def e2e(p_, a_, pr_):
+        m = log_mel_spectrogram(a_, cfg)
+        e_ = encoder_forward(p_, cfg, m)
+        bias = jnp.zeros((cfg.vocab_size,), jnp.float32)
+        bias = bias.at[cfg.eot_token].set(-1e9)
+        return greedy_decode(p_, cfg, e_, pr_, max_new=GEN_TOKENS - 1,
+                             logit_bias=bias)
+
+    if want("e2e"):
+        e2e(params, audio, prompt).tokens.block_until_ready()
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            e2e(params, audio, prompt).tokens.block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        report("e2e_wall", float(np.median(ts)),
+               note=f"rtfx={B * cfg.chunk_length_s / float(np.median(ts)):.0f}")
+
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

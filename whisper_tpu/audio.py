@@ -79,15 +79,19 @@ def mel_filter_bank(n_freqs: int, n_mels: int, sample_rate: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _frontend_constants(n_fft: int, n_mels: int, sample_rate: int
-                        ) -> tuple[np.ndarray, np.ndarray]:
-    """(dft_kernel, mel_fb): the windowed DFT basis as conv kernels, and the
-    mel filterbank.
+def _frontend_constants(n_fft: int, n_mels: int, sample_rate: int,
+                        hop_length: int) -> tuple[np.ndarray, np.ndarray]:
+    """(dft_kernel, mel_fb): the windowed DFT basis as a hop-padded matmul
+    kernel, and the mel filterbank.
 
-    dft_kernel has shape (2*n_freqs, 1, n_fft) in OIH conv layout: channel i
-    < n_freqs is window*cos(2*pi*i*n/N), channel n_freqs+i is
-    -window*sin(2*pi*i*n/N) (rfft sign convention; sign is irrelevant after
-    squaring but kept correct for reuse)."""
+    dft_kernel has shape (2*n_freqs, n_span*hop) where n_span =
+    ceil(n_fft/hop): row i < n_freqs is window*cos(2*pi*i*n/N), row
+    n_freqs+i is -window*sin(2*pi*i*n/N) (rfft sign convention; sign is
+    irrelevant after squaring but kept correct for reuse), zero beyond
+    n_fft. The zero tail lets frames be assembled as n_span whole hop
+    chunks (see log_mel_spectrogram) so the STFT is ONE dense MXU matmul
+    instead of a strided conv — XLA lowers the latter to direct VPU
+    convolution, measured 18 ms for batch 8 on v5e vs <1 ms as a matmul."""
     n_freqs = n_fft // 2 + 1
     n = np.arange(n_fft, dtype=np.float64)
     # periodic Hann, matching HF window_function(400, "hann")
@@ -97,9 +101,12 @@ def _frontend_constants(n_fft: int, n_mels: int, sample_rate: int
     real = np.cos(ang) * window[None, :]
     imag = -np.sin(ang) * window[None, :]
     dft = np.concatenate([real, imag], axis=0).astype(np.float32)
-    dft_kernel = dft[:, None, :]                             # (2F, 1, n_fft)
+    n_span = -(-n_fft // hop_length)
+    span = n_span * hop_length
+    if span > n_fft:
+        dft = np.pad(dft, ((0, 0), (0, span - n_fft)))       # (2F, span)
     mel_fb = mel_filter_bank(n_freqs, n_mels, sample_rate)
-    return dft_kernel, mel_fb
+    return dft, mel_fb
 
 
 def log_mel_spectrogram(audio: jax.Array, cfg: WhisperConfig) -> jax.Array:
@@ -107,22 +114,35 @@ def log_mel_spectrogram(audio: jax.Array, cfg: WhisperConfig) -> jax.Array:
 
     Pure function of the input; jit/vmap/pjit-compatible, static shapes.
     The caller pads/truncates audio to cfg.n_samples (30 s window).
+
+    STFT strategy (TPU-first): frames start every hop_length samples, so
+    the reflect-padded signal is cut into hop chunks and each frame is the
+    concatenation of n_span consecutive chunks; the windowed DFT is then a
+    single (B*frames, span) x (span, 2F) MXU matmul against the
+    zero-tail-padded basis (numerically identical to the n_fft frame dot).
     """
     if audio.ndim == 1:
         audio = audio[None]
-    dft_np, mel_np = _frontend_constants(cfg.n_fft, cfg.n_mels, cfg.sample_rate)
-    dft_kernel = jnp.asarray(dft_np)
+    dft_np, mel_np = _frontend_constants(cfg.n_fft, cfg.n_mels,
+                                         cfg.sample_rate, cfg.hop_length)
+    dft_kernel = jnp.asarray(dft_np)                         # (2F, span)
     mel_fb = jnp.asarray(mel_np)
 
+    hop = cfg.hop_length
     pad = cfg.n_fft // 2
     x = jnp.pad(audio.astype(jnp.float32), ((0, 0), (pad, pad)), mode="reflect")
-    # STFT as one strided conv on the MXU: (B, 1, T+2p) * (2F, 1, n_fft)
-    spec = jax.lax.conv_general_dilated(
-        x[:, None, :], dft_kernel,
-        window_strides=(cfg.hop_length,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                        # (B, 2F, frames)
+    B, T = x.shape
+    n_frames = (T - cfg.n_fft) // hop + 1
+    n_span = -(-cfg.n_fft // hop)
+    n_chunks = n_frames + n_span - 1
+    if n_chunks * hop > T:
+        x = jnp.pad(x, ((0, 0), (0, n_chunks * hop - T)))
+    y = x[:, :n_chunks * hop].reshape(B, n_chunks, hop)
+    frames = jnp.concatenate(
+        [y[:, s:s + n_frames] for s in range(n_span)], axis=-1
+    )                                                        # (B, F, span)
+    spec = jnp.einsum("bts,fs->bft", frames, dft_kernel,
+                      precision=jax.lax.Precision.HIGHEST)   # (B, 2F, frames)
     n_freqs = cfg.n_freqs
     power = spec[:, :n_freqs, :] ** 2 + spec[:, n_freqs:, :] ** 2
     mel = jnp.einsum("mf,bft->bmt", mel_fb, power,
