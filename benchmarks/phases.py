@@ -156,6 +156,47 @@ def main() -> None:
     if want("encoder"):
         report("encoder", chain_time(mk_enc, args.iters))
 
+    # ---- encoder sub-phases: conv stem / one transformer layer / attn ----
+    def mk_enc_conv():
+        from whisper_tpu.models.whisper import gelu
+
+        ep = params["encoder"]
+
+        def body(x, c):
+            xx = (x + eps(c)).astype(dtype)
+
+            def conv(x_, p_, stride):
+                return jax.lax.conv_general_dilated(
+                    x_, p_["w"].astype(dtype), window_strides=(stride,),
+                    padding=[(1, 1)], dimension_numbers=("NCH", "OIH", "NCH"),
+                    precision=jax.lax.Precision.HIGHEST,
+                ) + p_["b"].astype(dtype)[None, :, None]
+
+            y = gelu(conv(xx, ep["conv1"], 1))
+            y = gelu(conv(y, ep["conv2"], 2))
+            return x, y[0, 0, 0].astype(jnp.float32)
+        return mel, body
+    if want("enc_conv"):
+        report("enc_conv", chain_time(mk_enc_conv, args.iters))
+
+    def mk_enc_attn():
+        from whisper_tpu.ops.attention import multi_head_attention
+
+        q0 = jax.random.normal(jax.random.PRNGKey(3),
+                               (B, cfg.n_audio_ctx, cfg.n_heads,
+                                cfg.d_model // cfg.n_heads), dtype)
+        k0 = jnp.swapaxes(q0, 1, 2)
+
+        def body(x, c):
+            a = multi_head_attention(x + eps(c).astype(dtype), k0, k0,
+                                     backend=cfg.attn_backend)
+            return x, a[0, 0, 0, 0].astype(jnp.float32)
+        return q0, body
+    if want("enc_attn"):
+        report("enc_attn", chain_time(mk_enc_attn, args.iters),
+               note=f"one S={cfg.n_audio_ctx} self-attn, "
+                    f"backend={cfg.attn_backend or 'auto'}")
+
     # ---- cross-kv precompute ----
     def mk_cross():
         def body(x, c):
@@ -188,25 +229,34 @@ def main() -> None:
     if want("logits"):
         report("logits", chain_time(mk_logits, args.iters))
 
-    # ---- full greedy (single dispatch, wall) ----
-    @jax.jit
-    def greedy(p_, e_, pr_):
-        bias = jnp.zeros((cfg.vocab_size,), jnp.float32)
-        bias = bias.at[cfg.eot_token].set(-1e9)
-        return greedy_decode(p_, cfg, e_, pr_, max_new=GEN_TOKENS - 1,
-                             logit_bias=bias)
+    # ---- full greedy (single dispatch, wall + two-length slope) ----
+    def make_greedy(n_tokens):
+        @jax.jit
+        def greedy(p_, e_, pr_):
+            bias = jnp.zeros((cfg.vocab_size,), jnp.float32)
+            bias = bias.at[cfg.eot_token].set(-1e9)
+            return greedy_decode(p_, cfg, e_, pr_, max_new=n_tokens - 1,
+                                 logit_bias=bias)
+        return greedy
 
-    if want("greedy"):
-        greedy(params, enc, prompt).tokens.block_until_ready()
+    def greedy_wall(n_tokens):
+        g = make_greedy(n_tokens)
+        g(params, enc, prompt).tokens.block_until_ready()
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            greedy(params, enc, prompt).tokens.block_until_ready()
+            g(params, enc, prompt).tokens.block_until_ready()
             ts.append(time.perf_counter() - t0)
-        g = float(np.median(ts))
-        report("greedy_wall", g, note=f"{GEN_TOKENS} tokens, single "
-               f"dispatch incl. ~30ms tunnel cost; per-step upper bound "
-               f"{g / GEN_TOKENS * 1e6:.0f}us")
+        return float(np.median(ts))
+
+    if want("greedy"):
+        g_long = greedy_wall(GEN_TOKENS)
+        g_short = greedy_wall(GEN_TOKENS // 4)
+        slope = (g_long - g_short) / (GEN_TOKENS - GEN_TOKENS // 4)
+        report("greedy_wall", g_long,
+               note=f"{GEN_TOKENS} tokens single dispatch; while_loop "
+               f"per-step slope {slope * 1e6:.0f}us; fixed (prefill+"
+               f"dispatch) {(g_long - slope * GEN_TOKENS) * 1e3:.1f}ms")
 
     # ---- e2e (bench.py's program, single dispatch) ----
     @jax.jit

@@ -29,12 +29,14 @@ def test_decode_policy_by_cache_length():
 
 
 def test_prefill_policy_by_score_bytes():
-    # tiny encoder batch 8: 8*6*1500*1500*4 = 432 MB < 1 GB -> XLA
-    assert _auto_backend(_q(8, 1500, 6), _k(8, 1500, 6)) == "reference"
+    # tiny encoder batch 8: 432 MB of scores -> flash (measured 3.0x win,
+    # phases.py r2); batch 1: 54 MB -> still flash
+    assert _auto_backend(_q(8, 1500, 6), _k(8, 1500, 6)) == "pallas"
+    assert _auto_backend(_q(1, 1500, 6), _k(1, 1500, 6)) == "pallas"
     # large-v3 encoder batch 8: 8*20*1500*1500*4 = 1.44 GB -> flash
     assert _auto_backend(_q(8, 1500, 20), _k(8, 1500, 20)) == "pallas"
-    # threshold arithmetic
-    B, H, T, S = 1, 1, 1 << 15, 1 << 13
+    # threshold arithmetic: 16 MB boundary
+    B, H, T, S = 1, 1, 1 << 11, 1 << 11
     assert B * H * T * S * 4 == _FLASH_MIN_SCORE_BYTES
     assert _auto_backend(_q(B, T, H), _k(B, S, H)) == "pallas"
 

@@ -21,6 +21,7 @@ cache with a gather on every beam hop.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -70,24 +71,26 @@ def _make_fused_step(params, cfg: WhisperConfig, cache, cross_kv):
     dec = params["decoder"]
     layers = dec["layers"]
     dtype = jnp.dtype(cfg.compute_dtype)
-    wq, wk, wv, wcq, wo, wco = split_weights(layers, cfg.n_heads, dtype)
+    wqkv, wcq, wo, wco = split_weights(layers, cfg.n_heads, dtype)
     fc1_w = layers["fc1"]["w"].astype(dtype)
     fc2_w = layers["fc2"]["w"].astype(dtype)
-    misch, miscd = pack_misc(layers, cfg.n_heads)
+    miscp, miscd = pack_misc(layers, cfg.n_heads)
     cache = {"k": to_head_outer(cache["k"]), "v": to_head_outer(cache["v"])}
     cross_k = to_head_outer(cross_kv["k"])
     cross_v = to_head_outer(cross_kv["v"])
     interpret = (jax.default_backend() != "tpu"
                  or cfg.attn_backend == "pallas_interpret")
+    import os
+    block_cross = int(os.environ.get("WHISPER_TPU_FUSED_BLOCK_CROSS", "0"))
 
     def step(last, pos, cache):
         h0 = (dec["tok_emb"][last[:, 0]].astype(dtype)
               + dec["pos_emb"][pos][None, :].astype(dtype))
         h_out, k_new, v_new = fused_decoder_step(
-            h0, wq, wk, wv, wcq, wo, wco, fc1_w, fc2_w, misch, miscd,
+            h0, wqkv, wcq, wo, wco, fc1_w, fc2_w, miscp, miscd,
             cache["k"], cache["v"], cross_k, cross_v, pos + 1,
             n_layers=cfg.n_text_layers, n_heads=cfg.n_heads,
-            eps=cfg.ln_eps, interpret=interpret)
+            eps=cfg.ln_eps, interpret=interpret, block_cross=block_cross)
         cache = {
             "k": jax.lax.dynamic_update_slice(
                 cache["k"], k_new[:, :, None, :], (0, 0, pos, 0)),
@@ -97,6 +100,11 @@ def _make_fused_step(params, cfg: WhisperConfig, cache, cross_kv):
         return final_logits(params, cfg, h_out[:, None, :]), cache
 
     return step, cache
+
+
+# Steps per counted scan inside the early-exit while wrapper (see the
+# chunked-schedule comment in greedy_decode); env-overridable for A/B.
+_DECODE_CHUNK = int(os.environ.get("WHISPER_TPU_DECODE_CHUNK", "16"))
 
 
 class DecodeResult(NamedTuple):
@@ -199,25 +207,48 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
             return decoder_forward(params, cfg, last, pos, cache, cross_kv)
 
     # ---- incremental loop (whisper.mojo:205-221) ----
-    def cond(state):
-        i, _, _, finished, _, _ = state
-        return jnp.logical_and(i < max_new, jnp.logical_not(jnp.all(finished)))
-
-    def body(state):
-        i, tokens, cache, finished, sum_lp, rng = state
+    # Chunked schedule: a counted lax.scan of _DECODE_CHUNK steps inside
+    # each while iteration. Measured on v5e (benchmarks/phases.py, tiny
+    # bf16 b8): a bare while_loop decodes at 609 us/step while the
+    # identical math in a counted scan runs at 311 us/step — the
+    # non-trivial while condition (all(finished)) serializes iterations,
+    # whereas the static trip count pipelines. The while wrapper keeps the
+    # reference's early-exit semantics (whisper.mojo:207) at chunk
+    # granularity; overshoot steps within a chunk are masked (finished
+    # rows re-emit EOT, sum_lp frozen, i >= max_new writes suppressed), so
+    # tokens/lengths/logprobs are identical to the step-wise loop.
+    def step_once(carry, _):
+        i, tokens, cache, finished, sum_lp, rng = carry
         last = jax.lax.dynamic_slice(tokens, (0, P + i), (B, 1))
         logits, cache = step_fn(last, P + i, cache)
         rng, key = jax.random.split(rng)
         picked, lp = pick(logits, tokens, P + i + 1, key)
-        nxt = jnp.where(finished, eot, picked)
-        sum_lp = sum_lp + jnp.where(finished, 0.0, lp)
-        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None],
-                                              (0, P + i + 1))
+        live = jnp.logical_and(jnp.logical_not(finished), i < max_new)
+        nxt = jnp.where(live, picked, eot)
+        sum_lp = sum_lp + jnp.where(live, lp, 0.0)
+        # masked write: overshoot past max_new clamps col onto the final
+        # column, so out-of-bounds steps must not write at all (they would
+        # overwrite the last real token with the EOT padding)
+        col = jnp.minimum(P + i + 1, tokens.shape[1] - 1)
+        inb = P + i + 1 < tokens.shape[1]
+        write = jnp.logical_and(jnp.logical_or(live, finished), inb)
+        cur = tokens[jnp.arange(B), col]
+        tokens = tokens.at[jnp.arange(B), col].set(
+            jnp.where(write, nxt, cur))
         finished = jnp.logical_or(finished, nxt == eot)
-        return i + 1, tokens, cache, finished, sum_lp, rng
+        return (i + 1, tokens, cache, finished, sum_lp, rng), ()
+
+    def cond(state):
+        i, _, _, finished, _, _ = state
+        return jnp.logical_and(i < max_new, jnp.logical_not(jnp.all(finished)))
+
+    def chunk(state):
+        state, _ = jax.lax.scan(step_once, state, None,
+                                length=min(_DECODE_CHUNK, max_new))
+        return state
 
     _, tokens, _, _, sum_lp, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens, cache, finished0, lp0, rng))
+        cond, chunk, (jnp.int32(0), tokens, cache, finished0, lp0, rng))
 
     return DecodeResult(tokens=tokens, lengths=_lengths(tokens, P, eot),
                         sum_logprobs=sum_lp, no_speech_prob=no_speech_prob)

@@ -60,10 +60,14 @@ def default_backend() -> str:
 # edge. So at Whisper cache sizes decode stays on XLA; the kernel
 # engages where its valid-prefix streaming binds (>=4096-slot caches,
 # where XLA must read the whole padded cache). Prefill/encoder uses the
-# flash kernel only when the materialized score matrix would pressure
-# HBM (measured: flash wins 1.5× at the large-v3-turbo encoder shape).
+# flash kernel whenever the materialized score matrix is HBM-resident:
+# measured on v5e, flash wins 3.0× at the tiny encoder shape b8 (score
+# bytes 432 MB: 15.96 → 5.26 ms, benchmarks/phases.py r2) and 1.5× at
+# the large-v3-turbo encoder shape (r1). Below ~16 MB the scores live in
+# cache-adjacent fusions and XLA's single-pass softmax fusion wins (the
+# 4-token decoder prefill: 1.4 MB).
 _DECODE_PALLAS_MIN_S = 4096          # long caches: streaming wins
-_FLASH_MIN_SCORE_BYTES = 1 << 30     # B*H*T*S*4 (fp32 scores in HBM)
+_FLASH_MIN_SCORE_BYTES = 16 << 20    # B*H*T*S*4 (fp32 scores in HBM)
 
 
 def _auto_backend(q: jax.Array, k: jax.Array) -> str:

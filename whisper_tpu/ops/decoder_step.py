@@ -18,11 +18,20 @@ query head in SIMD registers to the entire decoder in VMEM.
 Mosaic-layout ground rules this kernel is built on (all measured/validated
 on the real v5e via ops/decode_attention.py and a VMEM probe):
   * Lane-dimension reshapes ((B, H*Dh) -> (B*H, Dh)) are unsupported shape
-    casts. So projections are PER-HEAD matmuls against (L, H, d, Dh)
-    weights, attention rows live in a head-outer (H*B, ...) layout whose
-    per-head groups are contiguous leading-dim slices, and the output
-    projection is a sum of per-head (Dh, d) partial matmuls — no
-    activation ever changes its lane dimension.
+    casts, and lane slices at odd-64 offsets carry a {0,64} layout offset
+    that tpu.concatenate / cross-offset stores refuse ("result/input offset
+    mismatch on non-concat dimension" — observed on the real toolchain).
+    So projections run as full-width MXU matmuls in the (B, d) lane layout
+    with each head's output columns PADDED to a 128-lane stride (Dhp):
+    one (B,d)x(d,3*H*Dhp) fused-QKV dot per layer and single full-width
+    dots for cq/o/co. Every per-head slice then starts at a 128-aligned
+    lane (layout offset 0), so the slice->scratch-row stores that build the
+    head-outer (H*B, Dh) attention rows are legal, as are the reverse
+    stores into a padded (B, H*Dhp) row that feeds the o/co projection
+    (whose weight rows are padded to match). Padding costs ~2x on the four
+    projection matrices' bytes (~+7% of per-step HBM) and replaces the
+    round-1 formulation (30 per-head (B,384)x(384,64) dots per layer) that
+    underfilled the MXU and measured 1.81 ms/step.
   * q[:, None, :] * k and p[:, :, None] * v broadcast-reduces compile and
     beat per-head MXU matvecs at q_len==1 (decode_attention_bh: 12.4 us vs
     XLA 19.3 us, self-attn shape, b8).
@@ -101,12 +110,12 @@ def _online_update(q_s, m_s, l_s, acc_s, kb, vb, valid):
 
 
 def _kernel(info_ref,                                   # scalar prefetch
-            h0_ref, wq, wk, wv, wcq, wo, wco, fc1_w, fc2_w,
-            misch, miscd,
+            h0_ref, wqkv, wcq, wo, wco, fc1_w, fc2_w,
+            miscp, miscd,
             sk_ref, sv_ref, ck_ref, cv_ref,             # streamed inputs
             hout_ref, knew_ref, vnew_ref,               # outputs
-            h_s, q_s, m_s, l_s, acc_s,                  # scratch
-            *, B: int, H: int, Dh: int, d: int, ff: int,
+            h_s, af_s, q_s, m_s, l_s, acc_s,            # scratch
+            *, B: int, H: int, Dh: int, Dhp: int, d: int, ff: int,
             n_self: int, n_cross: int, bk_self: int, bk_cross: int,
             s_cross: int, n_layers: int, eps: float, dtype, prec,
             interpret: bool):
@@ -122,12 +131,14 @@ def _kernel(info_ref,                                   # scalar prefetch
         return x32.astype(dtype).astype(f32)
 
     md = miscd[0, 0]                      # (Pd,) fp32 packed lane-wise params
+    mp = miscp[0, 0]                      # (4*H*Dhp,) padded qkv/cq biases
 
     def seg(off, n):
         return md[off:off + n]
 
-    # miscd layout: [o_b | co_b | fc1_b | fc2_b | ln1_g ln1_b ln2_g ln2_b
-    #                ln3_g ln3_b]
+    # miscd layout: [o_b | co_b | fc1_b (ff) | fc2_b | ln1_g ln1_b
+    #                ln2_g ln2_b ln3_g ln3_b];
+    # miscp layout: [qkv_b padded (3*H*Dhp) | cq_b padded (H*Dhp)]
     o_ob, o_cob, o_fc1b, o_fc2b = 0, d, 2 * d, 2 * d + ff
     o_ln = 3 * d + ff
 
@@ -139,20 +150,35 @@ def _kernel(info_ref,                                   # scalar prefetch
     def head_rows(hi):
         return slice(hi * B, (hi + 1) * B)
 
+    def hslice(x, slot):
+        """128-aligned lane slice: padded head-slot `slot`'s live Dh lanes
+        (layout offset 0 — Mosaic-legal to store anywhere)."""
+        return x[:, slot * Dhp: slot * Dhp + Dh]
+
+    def fill_af(a):
+        """Scatter per-head (B, Dh) sublane groups of a (HB, Dh) into the
+        padded lane-major scratch af_s (B, H*Dhp); pad lanes stay zero
+        (wo/wco pad rows are also zero, so they contribute nothing)."""
+        af_s[...] = jnp.zeros((B, H * Dhp), f32)
+        for hi in range(H):
+            af_s[:, hi * Dhp: hi * Dhp + Dh] = rnd(a[head_rows(hi)])
+
     # ---------------- phase j == 0: qkv projections, new-token seed -------
     @pl.when(j == 0)
     def _():
         h = jnp.where(l == 0, h0_ref[...].astype(f32), h_s[...])
         h_s[...] = h
         y = rnd(_ln(h, seg(o_ln, d), seg(o_ln + d, d), eps))
+        # ONE (B, d) x (d, 3*H*Dhp) MXU call — the XLA path's fused-QKV
+        # projection with per-head columns padded to 128-lane slots;
+        # per-column accumulation identical to the unpadded dot.
+        qkv = rnd(rnd(dot(y, wqkv[0]))
+                  + rnd(mp[:3 * H * Dhp][None, :]))
         for hi in range(H):                          # static unroll
             rows = head_rows(hi)
-            qb = misch[0, hi, 0:1, :]                # (1, Dh) fp32
-            kb_ = misch[0, hi, 1:2, :]
-            vb_ = misch[0, hi, 2:3, :]
-            q_h = rnd(rnd(dot(y, wq[0, hi])) + rnd(qb))
-            k_h = rnd(rnd(dot(y, wk[0, hi])) + rnd(kb_))
-            v_h = rnd(rnd(dot(y, wv[0, hi])) + rnd(vb_))
+            q_h = hslice(qkv, hi)
+            k_h = hslice(qkv, H + hi)
+            v_h = hslice(qkv, 2 * H + hi)
             knew_ref[0, rows] = k_h.astype(knew_ref.dtype)
             vnew_ref[0, rows] = v_h.astype(vnew_ref.dtype)
             qs = q_h * scale
@@ -175,16 +201,15 @@ def _kernel(info_ref,                                   # scalar prefetch
     @pl.when(j == n_self - 1)
     def _():
         a = acc_s[...] / jnp.maximum(l_s[...], 1e-30)        # (HB, Dh)
-        delta = jnp.zeros((B, d), f32)
-        for hi in range(H):
-            delta = delta + dot(rnd(a[head_rows(hi)]), wo[0, hi])
+        fill_af(a)
+        delta = dot(af_s[...], wo[0])                # one (H*Dhp, d) dot
         h = rnd(h_s[...] + rnd(rnd(delta) + rnd(seg(o_ob, d)[None, :])))
         h_s[...] = h
         y = rnd(_ln(h, seg(o_ln + 2 * d, d), seg(o_ln + 3 * d, d), eps))
+        q2 = rnd(rnd(dot(y, wcq[0]))
+                 + rnd(mp[3 * H * Dhp:][None, :]))
         for hi in range(H):
-            cqb = misch[0, hi, 3:4, :]
-            q2 = rnd(rnd(dot(y, wcq[0, hi])) + rnd(cqb))
-            q_s[head_rows(hi)] = q2 * scale
+            q_s[head_rows(hi)] = hslice(q2, hi) * scale
         m_s[...] = jnp.full_like(m_s[...], _MASK_VALUE)
         l_s[...] = jnp.zeros_like(l_s[...])
         acc_s[...] = jnp.zeros_like(acc_s[...])
@@ -202,9 +227,8 @@ def _kernel(info_ref,                                   # scalar prefetch
     @pl.when(j == n_self + n_cross - 1)
     def _():
         a = acc_s[...] / jnp.maximum(l_s[...], 1e-30)
-        delta = jnp.zeros((B, d), f32)
-        for hi in range(H):
-            delta = delta + dot(rnd(a[head_rows(hi)]), wco[0, hi])
+        fill_af(a)
+        delta = dot(af_s[...], wco[0])
         h = rnd(h_s[...] + rnd(rnd(delta) + rnd(seg(o_cob, d)[None, :])))
         y = rnd(_ln(h, seg(o_ln + 4 * d, d), seg(o_ln + 5 * d, d), eps))
         t1 = rnd(rnd(dot(y, fc1_w[0])) + rnd(seg(o_fc1b, ff)[None, :]))
@@ -232,28 +256,32 @@ def _pick_block(HB: int, s: int, Dh: int, dtype_bytes: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_layers", "n_heads", "eps", "interpret"))
+    static_argnames=("n_layers", "n_heads", "eps", "interpret",
+                     "block_self", "block_cross"))
 def fused_decoder_step(h0: jax.Array,
-                       wq, wk, wv, wcq, wo, wco, fc1_w, fc2_w,
-                       misch, miscd,
+                       wqkv, wcq, wo, wco, fc1_w, fc2_w,
+                       miscp, miscd,
                        self_k, self_v, cross_k, cross_v,
                        kv_len, *, n_layers: int, n_heads: int,
                        eps: float = 1e-5,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       block_self: int = 0, block_cross: int = 0):
     """Run one fused decode step (see module docstring).
 
     Args:
       h0: (B, d) compute dtype — token embedding + positional embedding.
-      wq/wk/wv/wcq: (L, H, d, Dh); wo/wco: (L, H, Dh, d) — per-head weight
-        blocks, compute dtype (see split_weights).
+      wqkv: (L, d, 3*H*Dhp) fused q|k|v projection, head columns padded to
+        128-lane slots; wcq: (L, d, H*Dhp); wo/wco: (L, H*Dhp, d) with
+        zeroed pad rows — compute dtype (see split_weights).
       fc1_w: (L, d, ff); fc2_w: (L, ff, d).
-      misch: (L, H, 4, Dh) fp32 — per-head [q_b, k_b, v_b, cq_b] rows.
+      miscp: (L, 1, 4*H*Dhp) fp32 — padded [qkv_b | cq_b].
       miscd: (L, 1, Pd) fp32 — lane-wise [o_b | co_b | fc1_b | fc2_b |
         ln1_g ln1_b ln2_g ln2_b ln3_g ln3_b].
       self_k/self_v: (L, H*B, S_self, Dh) stale cache, HEAD-OUTER rows
         (current token NOT yet written).
       cross_k/cross_v: (L, H*B, S_cross, Dh), head-outer.
       kv_len: scalar int32 — valid length INCLUDING the current token.
+      block_self/block_cross: KV tile size override (0 = auto ~4 MB).
     Returns:
       h_out (B, d) compute dtype (pre-final-LayerNorm),
       k_new, v_new: (L, H*B, Dh) — scatter at position kv_len - 1.
@@ -261,14 +289,33 @@ def fused_decoder_step(h0: jax.Array,
     L, HB, S_self, Dh = self_k.shape
     B, d = h0.shape
     H = n_heads
+    Dhp = _round_up(Dh, 128)
     ff = fc1_w.shape[2]
     S_cross = cross_k.shape[2]
     dtype = h0.dtype
     prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
 
-    bk_self = _pick_block(HB, S_self, Dh, jnp.dtype(self_k.dtype).itemsize)
-    bk_cross = _pick_block(HB, S_cross, Dh,
-                           jnp.dtype(cross_k.dtype).itemsize)
+    bk_self = (block_self or
+               _pick_block(HB, S_self, Dh, jnp.dtype(self_k.dtype).itemsize))
+    bk_cross = (block_cross or
+                _pick_block(HB, S_cross, Dh,
+                            jnp.dtype(cross_k.dtype).itemsize))
+    bk_self = min(bk_self, _round_up(S_self, 128))
+    bk_cross = min(bk_cross, _round_up(S_cross, 128))
+
+    def _vmem_est(bks, bkc):
+        """Double-buffered window bytes (the compiler's 2-level buffering of
+        every streamed input) + weights; must stay under the ~128 MiB v5e
+        VMEM with margin for scratch/spills."""
+        kv = 2 * 2 * HB * Dh * jnp.dtype(self_k.dtype).itemsize * (bks + bkc)
+        wb = 2 * jnp.dtype(dtype).itemsize * (
+            d * 3 * H * Dhp + d * H * Dhp + 2 * H * Dhp * d + 2 * d * ff)
+        return kv + wb
+
+    while bk_cross > 128 and _vmem_est(bk_self, bk_cross) > 80 * 1024 * 1024:
+        bk_cross -= 128
+    while bk_self > 128 and _vmem_est(bk_self, bk_cross) > 80 * 1024 * 1024:
+        bk_self -= 128
     sp_self = _round_up(S_self, bk_self)
     sp_cross = _round_up(S_cross, bk_cross)
     n_self = sp_self // bk_self
@@ -289,10 +336,6 @@ def fused_decoder_step(h0: jax.Array,
         del j, info_ref
         return (l, 0, 0)
 
-    def wh_idx(l, j, info_ref):
-        del j, info_ref
-        return (l, 0, 0, 0)
-
     def self_idx(l, j, info_ref):
         live = jnp.maximum(pl.cdiv(info_ref[0] - 1, bk_self), 1) - 1
         return (l, 0, jnp.minimum(jnp.minimum(j, n_self - 1), live), 0)
@@ -302,7 +345,7 @@ def fused_decoder_step(h0: jax.Array,
         return (l, 0, jnp.clip(j - n_self, 0, n_cross - 1), 0)
 
     kern = functools.partial(
-        _kernel, B=B, H=H, Dh=Dh, d=d, ff=ff,
+        _kernel, B=B, H=H, Dh=Dh, Dhp=Dhp, d=d, ff=ff,
         n_self=n_self, n_cross=n_cross, bk_self=bk_self, bk_cross=bk_cross,
         s_cross=S_cross, n_layers=n_layers, eps=eps, dtype=dtype,
         prec=prec, interpret=interpret)
@@ -315,15 +358,13 @@ def fused_decoder_step(h0: jax.Array,
             grid=(L, n_self + n_cross),
             in_specs=[
                 pl.BlockSpec((B, d), lambda l, j, *_: (0, 0)),      # h0
-                pl.BlockSpec((1, H, d, Dh), wh_idx),                # wq
-                pl.BlockSpec((1, H, d, Dh), wh_idx),                # wk
-                pl.BlockSpec((1, H, d, Dh), wh_idx),                # wv
-                pl.BlockSpec((1, H, d, Dh), wh_idx),                # wcq
-                pl.BlockSpec((1, H, Dh, d), wh_idx),                # wo
-                pl.BlockSpec((1, H, Dh, d), wh_idx),                # wco
+                pl.BlockSpec((1, d, 3 * H * Dhp), w_idx),           # wqkv
+                pl.BlockSpec((1, d, H * Dhp), w_idx),               # wcq
+                pl.BlockSpec((1, H * Dhp, d), w_idx),               # wo
+                pl.BlockSpec((1, H * Dhp, d), w_idx),               # wco
                 pl.BlockSpec((1, d, ff), w_idx),                    # fc1
                 pl.BlockSpec((1, ff, d), w_idx),                    # fc2
-                pl.BlockSpec((1, H, 4, Dh), wh_idx),                # misch
+                pl.BlockSpec((1, 1, 4 * H * Dhp), w_idx),           # miscp
                 pl.BlockSpec((1, 1, Pd), w_idx),                    # miscd
                 pl.BlockSpec((1, HB, bk_self, Dh), self_idx),       # sk
                 pl.BlockSpec((1, HB, bk_self, Dh), self_idx),       # sv
@@ -337,6 +378,7 @@ def fused_decoder_step(h0: jax.Array,
             ],
             scratch_shapes=[
                 pltpu.VMEM((B, d), jnp.float32),       # h
+                pltpu.VMEM((B, H * Dhp), jnp.float32),  # af (padded o-proj in)
                 pltpu.VMEM((HB, Dh), jnp.float32),     # q (pre-scaled)
                 pltpu.VMEM((HB, 1), jnp.float32),      # m
                 pltpu.VMEM((HB, 1), jnp.float32),      # l
@@ -352,7 +394,7 @@ def fused_decoder_step(h0: jax.Array,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(info, h0, wq, wk, wv, wcq, wo, wco, fc1_w, fc2_w, misch, miscd,
+    )(info, h0, wqkv, wcq, wo, wco, fc1_w, fc2_w, miscp, miscd,
       sk, sv, ck, cv)
 
     return h_out, k_new, v_new
@@ -362,42 +404,78 @@ def fused_decoder_step(h0: jax.Array,
 # operand preparation (once per transcription, outside the decode loop)
 # ---------------------------------------------------------------------------
 
+def _pad_head_cols(w: jax.Array, n_heads: int) -> jax.Array:
+    """(L, d, n_heads*Dh) -> (L, d, n_heads*Dhp): pad each head's output
+    columns to a 128-lane slot so in-kernel per-head slices are
+    tile-aligned (layout offset 0). Pad columns are zero."""
+    L, d, dout = w.shape
+    Dh = dout // n_heads
+    Dhp = _round_up(Dh, 128)
+    if Dhp == Dh:
+        return w
+    w4 = w.reshape(L, d, n_heads, Dh)
+    w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, 0), (0, Dhp - Dh)))
+    return w4.reshape(L, d, n_heads * Dhp)
+
+
+def _pad_head_rows(w: jax.Array, n_heads: int) -> jax.Array:
+    """(L, n_heads*Dh, d) -> (L, n_heads*Dhp, d) with ZERO pad rows (pad
+    lanes of the af scratch are also zero, so padding is exact)."""
+    L, din, d = w.shape
+    Dh = din // n_heads
+    Dhp = _round_up(Dh, 128)
+    if Dhp == Dh:
+        return w
+    w4 = w.reshape(L, n_heads, Dh, d)
+    w4 = jnp.pad(w4, ((0, 0), (0, 0), (0, Dhp - Dh), (0, 0)))
+    return w4.reshape(L, n_heads * Dhp, d)
+
+
 def split_weights(layers: dict, n_heads: int, dtype) -> tuple:
-    """Per-head weight blocks from a stacked decoder-layer pytree
-    ((in, out)-layout linears, weights.py contract).
+    """Head-slot-padded full-width weight matrices from a stacked
+    decoder-layer pytree ((in, out)-layout linears, weights.py contract).
 
-    Returns (wq, wk, wv, wcq) as (L, H, d, Dh) and (wo, wco) as
-    (L, H, Dh, d): the o/co matrices are split along their INPUT axis so
-    the kernel can accumulate per-head partial output projections."""
+    Returns (wqkv (L, d, 3*H*Dhp), wcq (L, d, H*Dhp), wo/wco
+    (L, H*Dhp, d)). The q|k|v concatenation along the OUTPUT axis matches
+    the XLA path's qkv_fused per-column accumulation exactly (padding adds
+    zero columns/rows, never changing live values); o/co keep their
+    natural head-major input-row order, which is the lane order the
+    kernel's padded af scratch assembles."""
     a, c = layers["attn"], layers["cross_attn"]
-    L, d, _ = a["q"]["w"].shape
-    Dh = d // n_heads
+    wqkv = jnp.concatenate(
+        [_pad_head_cols(a["q"]["w"], n_heads),
+         _pad_head_cols(a["k"]["w"], n_heads),
+         _pad_head_cols(a["v"]["w"], n_heads)], axis=-1).astype(dtype)
+    return (wqkv,
+            _pad_head_cols(c["q"]["w"], n_heads).astype(dtype),
+            _pad_head_rows(a["o"]["w"], n_heads).astype(dtype),
+            _pad_head_rows(c["o"]["w"], n_heads).astype(dtype))
 
-    def cols(w):                        # (L, d, d) -> (L, H, d, Dh)
-        return (w.reshape(L, d, n_heads, Dh).transpose(0, 2, 1, 3)
-                .astype(dtype))
 
-    def rows(w):                        # (L, d, d) -> (L, H, Dh, d)
-        return w.reshape(L, n_heads, Dh, d).astype(dtype)
-
-    return (cols(a["q"]["w"]), cols(a["k"]["w"]), cols(a["v"]["w"]),
-            cols(c["q"]["w"]), rows(a["o"]["w"]), rows(c["o"]["w"]))
+def _pad_head_vec(b: jax.Array, n_heads: int) -> jax.Array:
+    """(L, n_heads*Dh) bias -> (L, n_heads*Dhp), zero pad lanes."""
+    L, dout = b.shape
+    Dh = dout // n_heads
+    Dhp = _round_up(Dh, 128)
+    if Dhp == Dh:
+        return b.astype(jnp.float32)
+    b3 = b.astype(jnp.float32).reshape(L, n_heads, Dh)
+    b3 = jnp.pad(b3, ((0, 0), (0, 0), (0, Dhp - Dh)))
+    return b3.reshape(L, n_heads * Dhp)
 
 
 def pack_misc(layers: dict, n_heads: int) -> tuple[jax.Array, jax.Array]:
-    """(misch, miscd) fp32 packed parameter arrays (layouts in the kernel
-    docstring). Values come from the live (possibly bf16) params so rounding
-    matches the XLA path."""
+    """(miscp, miscd) fp32 packed lane-wise parameter arrays (layouts in
+    the kernel docstring): miscp holds the head-slot-PADDED qkv and cq
+    biases, miscd the unpadded o/co/fc biases and LayerNorm vectors.
+    Values come from the live (possibly bf16) params so rounding matches
+    the XLA path."""
     a, c = layers["attn"], layers["cross_attn"]
-    L, d = a["q"]["b"].shape
-    Dh = d // n_heads
-
-    def per_head(b):                    # (L, d) -> (L, H, 1, Dh)
-        return b.astype(jnp.float32).reshape(L, n_heads, 1, Dh)
-
-    misch = jnp.concatenate(
-        [per_head(a["q"]["b"]), per_head(a["k"]["b"]),
-         per_head(a["v"]["b"]), per_head(c["q"]["b"])], axis=2)  # (L,H,4,Dh)
+    miscp = jnp.concatenate(
+        [_pad_head_vec(a["q"]["b"], n_heads),
+         _pad_head_vec(a["k"]["b"], n_heads),
+         _pad_head_vec(a["v"]["b"], n_heads),
+         _pad_head_vec(c["q"]["b"], n_heads)], axis=-1)[:, None, :]
     parts = [
         a["o"]["b"], c["o"]["b"], layers["fc1"]["b"], layers["fc2"]["b"],
         layers["attn_ln"]["g"], layers["attn_ln"]["b"],
@@ -406,7 +484,7 @@ def pack_misc(layers: dict, n_heads: int) -> tuple[jax.Array, jax.Array]:
     ]
     miscd = jnp.concatenate([p.astype(jnp.float32) for p in parts],
                             axis=-1)[:, None, :]                 # (L, 1, Pd)
-    return misch, miscd
+    return miscp, miscd
 
 
 def to_head_outer(x: jax.Array) -> jax.Array:
