@@ -118,7 +118,7 @@ def main() -> None:
 
         jax.block_until_ready(run(tokens0, cache0))
         ts = []
-        for _ in range(5):
+        for _ in range(9):
             t0 = time.perf_counter()
             jax.block_until_ready(run(tokens0, cache0))
             ts.append(time.perf_counter() - t0)

@@ -320,7 +320,11 @@ def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
         i, _, _, _, finished = state
         return jnp.logical_and(i < max_new, jnp.logical_not(jnp.all(finished)))
 
-    def body(state):
+    def step_once(state, _):
+        # Chunked like greedy_decode (see its schedule comment): overshoot
+        # steps treat every beam as finished (EOT-only extension at zero
+        # cost — top_k is stable, so ordering and scores are unchanged) and
+        # out-of-bounds writes are suppressed.
         i, tokens, cache, sum_lp, finished = state
         last = jax.lax.dynamic_slice(
             tokens, (0, 0, P + i), (B, W, 1)).reshape(BW, 1)
@@ -328,24 +332,34 @@ def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
                                         cache, cross_kv)
         l = rules(logits[:, -1, :], tokens.reshape(BW, total), P + i + 1)
         lp = jax.nn.log_softmax(l.astype(jnp.float32), axis=-1).reshape(B, W, V)
-        # finished beams may only extend with EOT at zero cost
-        lp = jnp.where(finished[:, :, None], eot_only[None, None, :], lp)
+        # finished beams (and all beams past the cap) may only extend with
+        # EOT at zero cost
+        frozen = jnp.logical_or(finished, i >= max_new)
+        lp = jnp.where(frozen[:, :, None], eot_only[None, None, :], lp)
         cand = sum_lp[:, :, None] + lp                   # (B, W, V)
         new_lp, flat_idx = jax.lax.top_k(cand.reshape(B, W * V), W)
         src = flat_idx // V                              # (B, W) source beam
         new_tok = (flat_idx % V).astype(jnp.int32)
 
         tokens = jnp.take_along_axis(tokens, src[:, :, None], axis=1)
-        tokens = jax.lax.dynamic_update_slice(
-            tokens, new_tok[:, :, None], (0, 0, P + i + 1))
+        col = jnp.minimum(P + i + 1, total - 1)
+        cur = jax.lax.dynamic_index_in_dim(tokens, col, axis=2,
+                                           keepdims=False)
+        val = jnp.where(P + i + 1 < total, new_tok, cur)
+        tokens = tokens.at[:, :, col].set(val)
         flat_src = (jnp.arange(B)[:, None] * W + src).reshape(BW)
         cache = jax.tree.map(lambda c: c[:, flat_src], cache)
         finished = jnp.take_along_axis(finished, src, axis=1)
         finished = jnp.logical_or(finished, new_tok == eot)
-        return i + 1, tokens, cache, new_lp, finished
+        return (i + 1, tokens, cache, new_lp, finished), ()
+
+    def chunk(state):
+        state, _ = jax.lax.scan(step_once, state, None,
+                                length=min(_DECODE_CHUNK, max_new))
+        return state
 
     _, tokens, _, sum_lp, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), tokens, cache, sum_lp, finished0))
+        cond, chunk, (jnp.int32(0), tokens, cache, sum_lp, finished0))
 
     # rank beams by length-normalized score
     lens = _lengths(tokens, P, eot)                      # (B, W)
