@@ -104,7 +104,27 @@ def main() -> None:
         return body
 
     def timed(variant, n):
-        body = make_body(variant)
+        # "<v>_args" passes params/cross as jit ARGUMENTS (the production
+        # calling convention); bare "<v>" closes over them as constants —
+        # isolates whether XLA treats embedded weights differently.
+        as_args = variant.endswith("_args")
+        body = make_body(variant.removesuffix("_args"))
+
+        @jax.jit
+        def run_args(p_, cr_, tokens, cache):
+            nonlocal params, cross
+            saved_p, saved_c = params, cross
+            # make_body closes over the module-level names; rebind them to
+            # the traced arguments for this trace, then restore
+            params, cross = p_, cr_
+            try:
+                carry = (tokens, cache, jnp.zeros((B,), bool),
+                         jnp.zeros((B,), jnp.float32), jax.random.PRNGKey(0))
+                carry, _ = jax.lax.scan(body, carry,
+                                        jnp.arange(n, dtype=jnp.int32))
+            finally:
+                params, cross = saved_p, saved_c
+            return carry[0], carry[3], carry[4]
 
         @jax.jit
         def run(tokens, cache):
@@ -116,17 +136,47 @@ def main() -> None:
             # not strip the op under measurement
             return carry[0], carry[3], carry[4]
 
-        jax.block_until_ready(run(tokens0, cache0))
+        call = (lambda: run_args(params, cross, tokens0, cache0)) \
+            if as_args else (lambda: run(tokens0, cache0))
+        jax.block_until_ready(call())
         ts = []
         for _ in range(9):
             t0 = time.perf_counter()
-            jax.block_until_ready(run(tokens0, cache0))
+            jax.block_until_ready(call())
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    def timed_greedy(variant, n):
+        """The REAL greedy_decode (production path), params as args or
+        closed over as compile-time constants."""
+        from whisper_tpu.decode import greedy_decode
+
+        bias = jnp.zeros((cfg.vocab_size,), jnp.float32
+                         ).at[cfg.eot_token].set(-1e9)
+        if variant == "greedy_args":
+            @jax.jit
+            def run(p_, e_, pr_):
+                return greedy_decode(p_, cfg, e_, pr_, max_new=n - 1,
+                                     logit_bias=bias).tokens
+            call = lambda: run(params, enc, prompt)
+        else:                       # greedy_closure
+            @jax.jit
+            def run(e_, pr_):
+                return greedy_decode(params, cfg, e_, pr_, max_new=n - 1,
+                                     logit_bias=bias).tokens
+            call = lambda: run(enc, prompt)
+        call().block_until_ready()
+        ts = []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            call().block_until_ready()
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
     for variant in args.variants.split(","):
-        w_long = timed(variant, args.steps)
-        w_short = timed(variant, args.steps // 4)
+        t = timed_greedy if variant.startswith("greedy") else timed
+        w_long = t(variant, args.steps)
+        w_short = t(variant, args.steps // 4)
         us = (w_long - w_short) / (args.steps - args.steps // 4) * 1e6
         print(json.dumps({"variant": variant, "batch": B,
                           "us_per_step": round(us, 1)}), flush=True)

@@ -131,37 +131,29 @@ def _lengths(tokens: jax.Array, P: int, eot) -> jax.Array:
     return (P + gen_len).astype(jnp.int32)
 
 
-def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
-                  prompt: jax.Array,
-                  max_new: Optional[int] = None,
-                  logit_bias: Optional[jax.Array] = None,
-                  opts: Optional[DecodeOptions] = None,
-                  rng: Optional[jax.Array] = None) -> DecodeResult:
-    """Greedy (or, with opts.temperature > 0 and an rng key, sampled) decode
-    against a computed encoder output.
-
-    Args:
-      enc_out: (B, n_audio_ctx, d_model).
-      prompt: (B, P) int32 SOT sequence (P static).
-      max_new: cap on loop tokens after the prefill argmax (reference: 195).
-      logit_bias: optional (vocab,) additive bias applied before argmax
-        (raw hook; prefer `opts` for the standard rule stack).
-      opts: static DecodeOptions — suppression/timestamp rules, temperature.
-      rng: PRNG key, required iff opts.temperature > 0.
-    """
-    if max_new is None:
-        max_new = cfg.max_new_tokens
+def _greedy_prefill(params, cfg: WhisperConfig, enc_out, prompt, total: int):
+    """Stage 1: cross-K/V precompute + prompt prefill (whisper.mojo:195-197).
+    Returns (cross_kv, cache, tokens, prefill_logits)."""
     B, P = prompt.shape
-    total = P + 1 + max_new
-    eot = jnp.int32(cfg.eot_token)
-    temperature = float(opts.temperature) if opts is not None else 0.0
-    if temperature > 0 and rng is None:
-        raise ValueError("temperature sampling needs an rng key")
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
-
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
     cache = init_kv_cache(cfg, B, dtype=jnp.dtype(cfg.compute_dtype))
+    tokens = jnp.full((B, total), jnp.int32(cfg.eot_token), dtype=jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
+    logits, cache = decoder_forward(params, cfg, prompt, jnp.int32(0),
+                                    cache, cross_kv)
+    if not cfg.kv_cache_quant and not _fused_step_enabled(cfg):
+        from whisper_tpu.models.whisper import transpose_self_cache
+        cache = transpose_self_cache(cache)
+    return cross_kv, cache, tokens, logits
+
+
+def _greedy_loop(params, cfg: WhisperConfig, cross_kv, cache, tokens,
+                 prefill_logits, prompt, logit_bias, rng,
+                 opts: Optional[DecodeOptions], max_new: int) -> DecodeResult:
+    """Stage 2: first-token pick + the incremental decode loop."""
+    B, P = prompt.shape
+    eot = jnp.int32(cfg.eot_token)
+    temperature = float(opts.temperature) if opts is not None else 0.0
 
     def pick(logits, tokens, pos, key):
         """logits (B, T, V) -> (next token (B,), its logprob (B,))."""
@@ -179,11 +171,7 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
         chosen = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         return nxt, chosen
 
-    # ---- prefill: all P prompt tokens in one pass (whisper.mojo:195-197) ----
-    tokens = jnp.full((B, total), eot, dtype=jnp.int32)
-    tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
-    logits, cache = decoder_forward(params, cfg, prompt, jnp.int32(0),
-                                    cache, cross_kv)
+    logits = prefill_logits
     rng, key = jax.random.split(rng)
     first, lp0 = pick(logits, tokens, jnp.int32(P), key)
     tokens = tokens.at[:, P].set(first)
@@ -199,9 +187,17 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
 
     # Incremental step: the fused Pallas megakernel when eligible (one
     # program for all decoder layers, ops/decoder_step.py), else the
-    # scanned XLA decoder. Both share prefill above and logits/rules below.
+    # transposed-cache XLA step (decoder_step_t — the loop-local
+    # (L,B,H,Dh,S) layout that keeps cache appends in place; quantized
+    # caches keep the standard decoder_forward path). All share prefill
+    # above and logits/rules below.
     if _fused_step_enabled(cfg):
         step_fn, cache = _make_fused_step(params, cfg, cache, cross_kv)
+    elif not cfg.kv_cache_quant:
+        from whisper_tpu.models.whisper import decoder_step_t
+
+        def step_fn(last, pos, cache):
+            return decoder_step_t(params, cfg, last, pos, cache, cross_kv)
     else:
         def step_fn(last, pos, cache):
             return decoder_forward(params, cfg, last, pos, cache, cross_kv)
@@ -247,11 +243,87 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
                                 length=min(_DECODE_CHUNK, max_new))
         return state
 
-    _, tokens, _, _, sum_lp, _ = jax.lax.while_loop(
-        cond, chunk, (jnp.int32(0), tokens, cache, finished0, lp0, rng))
+    state0 = (jnp.int32(0), tokens, cache, finished0, lp0, rng)
+    if _DECODE_CHUNK <= 0:
+        # pure counted scan, no early exit (A/B instrumentation)
+        state, _ = jax.lax.scan(step_once, state0, None, length=max_new)
+        _, tokens, _, _, sum_lp, _ = state
+    else:
+        _, tokens, _, _, sum_lp, _ = jax.lax.while_loop(cond, chunk, state0)
 
     return DecodeResult(tokens=tokens, lengths=_lengths(tokens, P, eot),
                         sum_logprobs=sum_lp, no_speech_prob=no_speech_prob)
+
+
+_jit_greedy_prefill = functools.partial(
+    jax.jit, static_argnames=("cfg", "total"))(_greedy_prefill)
+_jit_greedy_loop = functools.partial(
+    jax.jit, static_argnames=("cfg", "opts", "max_new"))(_greedy_loop)
+
+
+def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
+                  prompt: jax.Array,
+                  max_new: Optional[int] = None,
+                  logit_bias: Optional[jax.Array] = None,
+                  opts: Optional[DecodeOptions] = None,
+                  rng: Optional[jax.Array] = None) -> DecodeResult:
+    """Greedy (or, with opts.temperature > 0 and an rng key, sampled) decode
+    against a computed encoder output.
+
+    Called EAGERLY (not under an enclosing jit), this dispatches two
+    separately-jitted stages — prefill and the decode loop. Measured on v5e
+    (tiny bf16 b8, DESIGN.md §13): compiling the loop in its own program
+    cuts the per-step cost 557 -> 375 us (XLA schedules/allocates the loop
+    dramatically better without the mel/encoder/prefill graph around it),
+    and the two dispatches pipeline through async dispatch so end-to-end
+    wall drops 86 -> 65 ms despite the extra dispatch. Under an enclosing
+    trace the stages inline into one program (old behavior).
+
+    Args:
+      enc_out: (B, n_audio_ctx, d_model).
+      prompt: (B, P) int32 SOT sequence (P static).
+      max_new: cap on loop tokens after the prefill argmax (reference: 195).
+      logit_bias: optional (vocab,) additive bias applied before argmax
+        (raw hook; prefer `opts` for the standard rule stack).
+      opts: static DecodeOptions — suppression/timestamp rules, temperature.
+      rng: PRNG key, required iff opts.temperature > 0.
+    """
+    if max_new is None:
+        max_new = cfg.max_new_tokens
+    total = prompt.shape[1] + 1 + max_new
+    temperature = float(opts.temperature) if opts is not None else 0.0
+    if temperature > 0 and rng is None:
+        raise ValueError("temperature sampling needs an rng key")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    eager = not isinstance(enc_out, jax.core.Tracer)
+    prefill = _jit_greedy_prefill if eager else _greedy_prefill
+    loop = _jit_greedy_loop if eager else _greedy_loop
+    cross_kv, cache, tokens, logits = prefill(params, cfg, enc_out, prompt,
+                                              total=total)
+    return loop(params, cfg, cross_kv, cache, tokens, logits, prompt,
+                logit_bias, rng, opts=opts, max_new=max_new)
+
+
+def _beam_prefill(params, cfg: WhisperConfig, enc_out, prompt,
+                  beam_size: int, total: int):
+    """Stage 1 of beam search: beam-replicated cross K/V + prompt prefill.
+    Returns (cross_kv, cache, prefill_logits)."""
+    W = beam_size
+    B, P = prompt.shape
+    # replicate encoder state across beams: (L, B, ...) -> (L, B*W, ...)
+    cross_kv = jax.tree.map(
+        lambda x: jnp.repeat(x, W, axis=1), precompute_cross_kv(params, cfg, enc_out))
+    cache = init_kv_cache(cfg, B * W, dtype=jnp.dtype(cfg.compute_dtype))
+    prompt_bw = jnp.repeat(prompt, W, axis=0)            # (BW, P)
+    logits, cache = decoder_forward(params, cfg, prompt_bw, jnp.int32(0),
+                                    cache, cross_kv)
+    if not cfg.kv_cache_quant:
+        # loop-local transposed cache layout (see decoder_step_t)
+        from whisper_tpu.models.whisper import transpose_self_cache
+        cache = transpose_self_cache(cache)
+    return cross_kv, cache, logits
 
 
 def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
@@ -266,6 +338,9 @@ def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
     when opts.length_penalty is None, else Google-NMT
     ((5 + len) / 6) ** penalty (matching openai/whisper's ranker).
 
+    Eager calls dispatch two jitted stages (prefill | loop), like
+    greedy_decode — see its docstring for the measured why.
+
     Returns the best beam per batch row.
     """
     if opts is not None and opts.temperature > 0:
@@ -274,26 +349,41 @@ def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
                          "uses best_of sampling instead)")
     if max_new is None:
         max_new = cfg.max_new_tokens
+    total = prompt.shape[1] + 1 + max_new
+    eager = not isinstance(enc_out, jax.core.Tracer)
+    prefill = _jit_beam_prefill if eager else _beam_prefill
+    loop = _jit_beam_loop if eager else _beam_loop
+    cross_kv, cache, logits = prefill(params, cfg, enc_out, prompt,
+                                      beam_size=beam_size, total=total)
+    return loop(params, cfg, cross_kv, cache, logits, prompt,
+                beam_size=beam_size, max_new=max_new, opts=opts)
+
+
+def _beam_loop(params, cfg: WhisperConfig, cross_kv, cache, prefill_logits,
+               prompt, beam_size: int, max_new: int,
+               opts: Optional[DecodeOptions]) -> DecodeResult:
+    """Stage 2 of beam search: first expansion + beam loop + ranking."""
     B, P = prompt.shape
     W = beam_size
     BW = B * W
     total = P + 1 + max_new
     eot = jnp.int32(cfg.eot_token)
     V = cfg.vocab_size
+    logits = prefill_logits
 
     def rules(l, tokens_flat, pos):
         if opts is not None:
             return apply_rules(l, tokens_flat, pos, P, cfg, opts)
         return l
 
-    # replicate encoder state across beams: (L, B, ...) -> (L, B*W, ...)
-    cross_kv = jax.tree.map(
-        lambda x: jnp.repeat(x, W, axis=1), precompute_cross_kv(params, cfg, enc_out))
-    cache = init_kv_cache(cfg, BW, dtype=jnp.dtype(cfg.compute_dtype))
+    if not cfg.kv_cache_quant:
+        from whisper_tpu.models.whisper import decoder_step_t
 
-    prompt_bw = jnp.repeat(prompt, W, axis=0)            # (BW, P)
-    logits, cache = decoder_forward(params, cfg, prompt_bw, jnp.int32(0),
-                                    cache, cross_kv)
+        def beam_step(last, pos, cache):
+            return decoder_step_t(params, cfg, last, pos, cache, cross_kv)
+    else:
+        def beam_step(last, pos, cache):
+            return decoder_forward(params, cfg, last, pos, cache, cross_kv)
 
     # no-speech signal from the prefill, same SOT-position softmax as
     # greedy_decode (beams are identical at prefill — use beam 0's row)
@@ -328,8 +418,7 @@ def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
         i, tokens, cache, sum_lp, finished = state
         last = jax.lax.dynamic_slice(
             tokens, (0, 0, P + i), (B, W, 1)).reshape(BW, 1)
-        logits, cache = decoder_forward(params, cfg, last, P + i,
-                                        cache, cross_kv)
+        logits, cache = beam_step(last, P + i, cache)
         l = rules(logits[:, -1, :], tokens.reshape(BW, total), P + i + 1)
         lp = jax.nn.log_softmax(l.astype(jnp.float32), axis=-1).reshape(B, W, V)
         # finished beams (and all beams past the cap) may only extend with
@@ -376,6 +465,13 @@ def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
                         no_speech_prob=no_speech_prob)
 
 
+_jit_beam_prefill = functools.partial(
+    jax.jit, static_argnames=("cfg", "beam_size", "total"))(_beam_prefill)
+_jit_beam_loop = functools.partial(
+    jax.jit, static_argnames=("cfg", "beam_size", "max_new", "opts")
+)(_beam_loop)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def encode(params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     """Jitted encoder entry point, for callers that reuse the encoder output
@@ -383,15 +479,18 @@ def encode(params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     return encoder_forward(params, cfg, mel)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "max_new", "opts", "beam_size"))
 def decode_from_encoder(params, cfg: WhisperConfig, enc_out: jax.Array,
                         prompt: jax.Array,
                         max_new: Optional[int] = None,
                         opts: Optional[DecodeOptions] = None,
                         beam_size: int = 1,
                         rng: Optional[jax.Array] = None) -> DecodeResult:
-    """Jitted decode against a precomputed encoder output."""
+    """Decode against a precomputed encoder output.
+
+    Deliberately NOT jitted: greedy_decode / beam_decode self-dispatch
+    their prefill and loop stages as separate jitted programs when called
+    eagerly (the split compiles a dramatically faster loop — DESIGN.md
+    §13); wrapping this in jit would fuse them back into one program."""
     if beam_size > 1:
         return beam_decode(params, cfg, enc_out, prompt, beam_size,
                            max_new=max_new, opts=opts)

@@ -404,6 +404,124 @@ def final_logits(params: Params, cfg: WhisperConfig, h: jax.Array
                    preferred_element_type=jnp.float32)
 
 
+def transpose_self_cache(kv_cache: dict[str, jax.Array]) -> dict[str, jax.Array]:
+    """(L, B, H, S, Dh) -> (L, B, H, Dh, S): the decode-LOOP cache layout
+    (see decoder_step_t). Done once per transcription after prefill."""
+    return {"k": kv_cache["k"].transpose(0, 1, 2, 4, 3),
+            "v": kv_cache["v"].transpose(0, 1, 2, 4, 3)}
+
+
+def decoder_step_t(params: Params, cfg: WhisperConfig,
+                   tokens1: jax.Array, pos_offset: jax.Array,
+                   cache_t: dict[str, jax.Array],
+                   cross_kv: dict[str, jax.Array],
+                   ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """One T==1 decode step over the TRANSPOSED self-cache (L, B, H, Dh, S).
+
+    Why a second layout exists (measured, v5e, benchmarks/loop_anatomy.py +
+    compiled-HLO audit r2): with the standard (.., S, Dh) cache carried
+    through the decode loop, XLA's layout assignment re-lays the carry
+    S-minor for the q_len==1 attention reduce and then lowers every
+    per-step cache append as a full-array pad+select rewrite — 2x27.6 MB
+    per step at tiny b8 (~250 us, half the step). Storing the loop cache
+    (.., Dh, S) makes the attention-preferred layout the DEFAULT layout:
+    the append is an in-place minor-dim column write and no relayout
+    exists. The loop never returns the cache (greedy/beam return tokens),
+    so the transposed layout stays loop-local.
+
+    Numerics: score/value contractions consume the same operand values as
+    mha_reference (a transpose changes no products). fp32 mode keeps the
+    fp32/HIGHEST token-parity contract; bf16 mode feeds the dots bf16 with
+    fp32 accumulation — bf16 x bf16 products are exact in fp32 (8-bit
+    mantissas), so this differs from the fp32-upcast path only in
+    accumulation grouping. Softmax stays fp32.
+
+    Args:
+      tokens1: (B, 1) int32.
+      pos_offset: scalar int32 — absolute position (cache write index).
+      cache_t: {"k","v"} (L, B, H, Dh, S), unquantized.
+      cross_kv: standard precompute_cross_kv output (unquantized).
+    Returns:
+      logits (B, 1, vocab) fp32, updated cache_t.
+    """
+    assert "k_s" not in cache_t, "decoder_step_t is unquantized-only"
+    dec = params["decoder"]
+    dtype = jnp.dtype(cfg.compute_dtype)
+    f32 = jnp.float32
+    fp32_mode = dtype == f32
+    prec = HIGHEST if fp32_mode else None
+    S = cache_t["k"].shape[-1]
+    D = cfg.head_dim
+
+    h = dec["tok_emb"][tokens1].astype(dtype)             # (B, 1, d)
+    h = h + dec["pos_emb"][pos_offset][None, None, :].astype(dtype)
+    kv_len = pos_offset + 1
+    key_mask = (jnp.arange(S) < kv_len)[None, None, None, :]
+
+    def _att(q, k, v, k_eq: str, v_eq: str, mask) -> jax.Array:
+        """Shared dot policy. fp32 mode: upcast + HIGHEST + scale-before,
+        byte-matching mha_reference. bf16 mode: bf16 operands with fp32
+        accumulation (products exact) and the scale applied to the fp32
+        scores (strictly closer to the fp32 reference than scaling in
+        bf16). Softmax always fp32."""
+        if fp32_mode:
+            qd = q.astype(f32) * (D ** -0.5)
+            s = jnp.einsum(k_eq, qd, k.astype(f32), precision=prec)
+        else:
+            s = jnp.einsum(k_eq, q, k, preferred_element_type=f32
+                           ) * (D ** -0.5)
+        if mask is not None:
+            s = jnp.where(mask, s, jnp.finfo(f32).min)
+        p = jax.nn.softmax(s, axis=-1)
+        if fp32_mode:
+            out = jnp.einsum(v_eq, p, v.astype(f32), precision=prec)
+        else:
+            out = jnp.einsum(v_eq, p.astype(dtype), v,
+                             preferred_element_type=f32)
+        return out.astype(dtype)
+
+    def att(q, k, v):
+        """Self attention over the transposed cache; at q_len==1 the causal
+        mask degenerates to the length mask."""
+        return _att(q, k, v, "bthd,bhds->bhts", "bhts,bhds->bthd", key_mask)
+
+    def att_cross(q, cross_l):
+        """Cross attention (all S_cross positions valid)."""
+        return _att(q, cross_l["k"], cross_l["v"],
+                    "bthd,bhsd->bhts", "bhts,bhsd->bthd", None)
+
+    def block(h, xs):
+        lp, cache_l, cross_l = xs
+        r = h
+        y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
+        q, k_new, v_new = qkv_fused(y, lp["attn"], cfg.n_heads)
+        # append: (B, H, 1, D) -> a (B, H, D, 1) column at S-index pos
+        kc = jax.lax.dynamic_update_slice(
+            cache_l["k"], k_new.transpose(0, 1, 3, 2).astype(cache_l["k"].dtype),
+            (0, 0, 0, pos_offset))
+        vc = jax.lax.dynamic_update_slice(
+            cache_l["v"], v_new.transpose(0, 1, 3, 2).astype(cache_l["v"].dtype),
+            (0, 0, 0, pos_offset))
+        h = r + linear(merge_heads(att(q, kc.astype(dtype),
+                                       vc.astype(dtype))), lp["attn"]["o"])
+        r = h
+        y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"], cfg.ln_eps)
+        q = split_heads(linear(y, lp["cross_attn"]["q"]), cfg.n_heads)
+        h = r + linear(merge_heads(att_cross(
+            q, jax.tree.map(lambda a: a.astype(dtype), cross_l))),
+            lp["cross_attn"]["o"])
+        r = h
+        y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], cfg.ln_eps)
+        h = r + linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
+        return h, {"k": kc, "v": vc}
+
+    h, new_cache = jax.lax.scan(
+        block, h, (dec["layers"], cache_t, cross_kv),
+        unroll=cfg.n_text_layers <= 8)
+
+    return final_logits(params, cfg, h), new_cache
+
+
 def decoder_step_ragged(params: Params, cfg: WhisperConfig,
                         tokens1: jax.Array, pos: jax.Array,
                         kv_cache: dict[str, jax.Array],
