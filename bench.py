@@ -21,6 +21,7 @@ variant.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -70,25 +71,42 @@ def main() -> None:
     ]).astype(np.float32)
     audio_dev = jnp.asarray(audio)
 
-    @jax.jit
-    def encode(params, audio):
-        mel = log_mel_spectrogram(audio, cfg)
-        return encoder_forward(params, cfg, mel)
+    from whisper_tpu.decode import _greedy_prefill, _jit_greedy_loop
 
     # logit_bias forbids EOT so every row decodes the full GEN_TOKENS
     # (fixed work, independent of random-weight argmax behavior)
     bias = jnp.zeros((cfg.vocab_size,), jnp.float32)
     bias = bias.at[cfg.eot_token].set(-1e9)
+    total = prompt.shape[1] + GEN_TOKENS
 
-    def run(params, audio, prompt):
-        # encoder / decode-prefill / decode-loop run as separate programs
-        # chained by async dispatch — greedy_decode called eagerly
-        # self-dispatches its two jitted stages (DESIGN.md §13: the decode
-        # loop compiled alone runs 375 vs 557 us/step, and the dispatches
-        # pipeline so the split also wins wall-clock)
-        enc = encode(params, audio)
-        return greedy_decode(params, cfg, enc, prompt,
-                             max_new=GEN_TOKENS - 1, logit_bias=bias)
+    # Two execution modes (WHISPER_BENCH_SPLIT=1 selects the split):
+    #  * one-jit: mel+encoder+prefill+loop in a single program — best on
+    #    THIS rig, where each axon-tunnel dispatch costs ~30 ms of
+    #    serialized host time (a second dispatch costs more than the
+    #    split-compiled loop saves: 89 x (557-375 us) ≈ 16 ms at b8).
+    #  * split: [mel+encoder+prefill] | [decode loop] as two programs —
+    #    the loop alone compiles ~1.5x faster per step (DESIGN.md §13);
+    #    wins wherever dispatch is sub-ms (any direct-attached deployment).
+    if os.environ.get("WHISPER_BENCH_SPLIT", "0") == "1":
+        @jax.jit
+        def stage1(params, audio, prompt):
+            mel = log_mel_spectrogram(audio, cfg)
+            enc = encoder_forward(params, cfg, mel)
+            return _greedy_prefill(params, cfg, enc, prompt, total)
+
+        def run(params, audio, prompt):
+            cross, cache, tokens, logits = stage1(params, audio, prompt)
+            return _jit_greedy_loop(params, cfg, cross, cache, tokens,
+                                    logits, prompt, bias,
+                                    jax.random.PRNGKey(0),
+                                    opts=None, max_new=GEN_TOKENS - 1)
+    else:
+        @jax.jit
+        def run(params, audio, prompt):
+            mel = log_mel_spectrogram(audio, cfg)
+            enc = encoder_forward(params, cfg, mel)
+            return greedy_decode(params, cfg, enc, prompt,
+                                 max_new=GEN_TOKENS - 1, logit_bias=bias)
 
     # warmup/compile
     res = run(params, audio_dev, prompt)

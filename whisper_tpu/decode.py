@@ -41,10 +41,12 @@ from whisper_tpu.models.whisper import (
 def _fused_step_enabled(cfg: WhisperConfig) -> bool:
     """Whether greedy decode uses the fused decoder-step megakernel
     (ops/decoder_step.py). Auto policy: OFF — measured on the real v5e
-    (tiny bf16 b8) the megakernel is token-identical but currently slower
-    than the XLA step (1.81 vs 1.31 ms/step; DESIGN.md §8), so it stays
-    opt-in until it wins. WHISPER_TPU_FUSED=0|1 overrides; cfg.fused_step
-    forces (True off-TPU runs the kernel in interpret mode — tests)."""
+    (tiny bf16 b8) the megakernel runs 591 us/step vs the XLA step's 311
+    in the clean chained harness (DESIGN.md §10: XLA is already ~1.4x the
+    HBM floor, leaving no room to repay a fusion boundary), so it stays
+    opt-in as the weight-resident-decode platform for larger models.
+    WHISPER_TPU_FUSED=0|1 overrides; cfg.fused_step forces (True off-TPU
+    runs the kernel in interpret mode — tests)."""
     import os
     if cfg.kv_cache_quant:
         return False
@@ -104,7 +106,12 @@ def _make_fused_step(params, cfg: WhisperConfig, cache, cross_kv):
 
 # Steps per counted scan inside the early-exit while wrapper (see the
 # chunked-schedule comment in greedy_decode); env-overridable for A/B.
-_DECODE_CHUNK = int(os.environ.get("WHISPER_TPU_DECODE_CHUNK", "16"))
+# Default 1 = the plain early-exit while: 16-step chunks measured faster in
+# an isolated loop program (542 vs 609 us/step) but slower inside the e2e
+# program (b8 94.8 vs 87.8 ms) — XLA's scheduling of the nested scan flips
+# sign with the surrounding graph, so the simple schedule is the default
+# and chunking stays an A/B knob.
+_DECODE_CHUNK = int(os.environ.get("WHISPER_TPU_DECODE_CHUNK", "1"))
 
 
 class DecodeResult(NamedTuple):
@@ -131,9 +138,13 @@ def _lengths(tokens: jax.Array, P: int, eot) -> jax.Array:
     return (P + gen_len).astype(jnp.int32)
 
 
-def _greedy_prefill(params, cfg: WhisperConfig, enc_out, prompt, total: int):
+def _greedy_prefill(params, cfg: WhisperConfig, enc_out, prompt, total: int,
+                    use_t: bool = True):
     """Stage 1: cross-K/V precompute + prompt prefill (whisper.mojo:195-197).
-    Returns (cross_kv, cache, tokens, prefill_logits)."""
+    Returns (cross_kv, cache, tokens, prefill_logits). use_t selects the
+    transposed loop-cache layout (decoder_step_t) — a win only when the
+    loop compiles as its own program (DESIGN.md §13), so the inline path
+    passes False."""
     B, P = prompt.shape
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
     cache = init_kv_cache(cfg, B, dtype=jnp.dtype(cfg.compute_dtype))
@@ -141,7 +152,7 @@ def _greedy_prefill(params, cfg: WhisperConfig, enc_out, prompt, total: int):
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
     logits, cache = decoder_forward(params, cfg, prompt, jnp.int32(0),
                                     cache, cross_kv)
-    if not cfg.kv_cache_quant and not _fused_step_enabled(cfg):
+    if use_t and not cfg.kv_cache_quant and not _fused_step_enabled(cfg):
         from whisper_tpu.models.whisper import transpose_self_cache
         cache = transpose_self_cache(cache)
     return cross_kv, cache, tokens, logits
@@ -149,8 +160,10 @@ def _greedy_prefill(params, cfg: WhisperConfig, enc_out, prompt, total: int):
 
 def _greedy_loop(params, cfg: WhisperConfig, cross_kv, cache, tokens,
                  prefill_logits, prompt, logit_bias, rng,
-                 opts: Optional[DecodeOptions], max_new: int) -> DecodeResult:
-    """Stage 2: first-token pick + the incremental decode loop."""
+                 opts: Optional[DecodeOptions], max_new: int,
+                 use_t: bool = True) -> DecodeResult:
+    """Stage 2: first-token pick + the incremental decode loop. use_t must
+    match the _greedy_prefill that produced `cache`."""
     B, P = prompt.shape
     eot = jnp.int32(cfg.eot_token)
     temperature = float(opts.temperature) if opts is not None else 0.0
@@ -193,7 +206,7 @@ def _greedy_loop(params, cfg: WhisperConfig, cross_kv, cache, tokens,
     # above and logits/rules below.
     if _fused_step_enabled(cfg):
         step_fn, cache = _make_fused_step(params, cfg, cache, cross_kv)
-    elif not cfg.kv_cache_quant:
+    elif use_t and not cfg.kv_cache_quant:
         from whisper_tpu.models.whisper import decoder_step_t
 
         def step_fn(last, pos, cache):
@@ -256,9 +269,9 @@ def _greedy_loop(params, cfg: WhisperConfig, cross_kv, cache, tokens,
 
 
 _jit_greedy_prefill = functools.partial(
-    jax.jit, static_argnames=("cfg", "total"))(_greedy_prefill)
+    jax.jit, static_argnames=("cfg", "total", "use_t"))(_greedy_prefill)
 _jit_greedy_loop = functools.partial(
-    jax.jit, static_argnames=("cfg", "opts", "max_new"))(_greedy_loop)
+    jax.jit, static_argnames=("cfg", "opts", "max_new", "use_t"))(_greedy_loop)
 
 
 def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
@@ -300,14 +313,16 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
     eager = not isinstance(enc_out, jax.core.Tracer)
     prefill = _jit_greedy_prefill if eager else _greedy_prefill
     loop = _jit_greedy_loop if eager else _greedy_loop
+    # decoder_step_t only wins when the loop compiles as its own program
+    # (DESIGN.md §13); inline (traced) callers keep decoder_forward
     cross_kv, cache, tokens, logits = prefill(params, cfg, enc_out, prompt,
-                                              total=total)
+                                              total=total, use_t=eager)
     return loop(params, cfg, cross_kv, cache, tokens, logits, prompt,
-                logit_bias, rng, opts=opts, max_new=max_new)
+                logit_bias, rng, opts=opts, max_new=max_new, use_t=eager)
 
 
 def _beam_prefill(params, cfg: WhisperConfig, enc_out, prompt,
-                  beam_size: int, total: int):
+                  beam_size: int, total: int, use_t: bool = True):
     """Stage 1 of beam search: beam-replicated cross K/V + prompt prefill.
     Returns (cross_kv, cache, prefill_logits)."""
     W = beam_size
@@ -319,7 +334,7 @@ def _beam_prefill(params, cfg: WhisperConfig, enc_out, prompt,
     prompt_bw = jnp.repeat(prompt, W, axis=0)            # (BW, P)
     logits, cache = decoder_forward(params, cfg, prompt_bw, jnp.int32(0),
                                     cache, cross_kv)
-    if not cfg.kv_cache_quant:
+    if use_t and not cfg.kv_cache_quant:
         # loop-local transposed cache layout (see decoder_step_t)
         from whisper_tpu.models.whisper import transpose_self_cache
         cache = transpose_self_cache(cache)
@@ -354,14 +369,17 @@ def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
     prefill = _jit_beam_prefill if eager else _beam_prefill
     loop = _jit_beam_loop if eager else _beam_loop
     cross_kv, cache, logits = prefill(params, cfg, enc_out, prompt,
-                                      beam_size=beam_size, total=total)
+                                      beam_size=beam_size, total=total,
+                                      use_t=eager)
     return loop(params, cfg, cross_kv, cache, logits, prompt,
-                beam_size=beam_size, max_new=max_new, opts=opts)
+                beam_size=beam_size, max_new=max_new, opts=opts,
+                use_t=eager)
 
 
 def _beam_loop(params, cfg: WhisperConfig, cross_kv, cache, prefill_logits,
                prompt, beam_size: int, max_new: int,
-               opts: Optional[DecodeOptions]) -> DecodeResult:
+               opts: Optional[DecodeOptions],
+               use_t: bool = True) -> DecodeResult:
     """Stage 2 of beam search: first expansion + beam loop + ranking."""
     B, P = prompt.shape
     W = beam_size
@@ -376,7 +394,7 @@ def _beam_loop(params, cfg: WhisperConfig, cross_kv, cache, prefill_logits,
             return apply_rules(l, tokens_flat, pos, P, cfg, opts)
         return l
 
-    if not cfg.kv_cache_quant:
+    if use_t and not cfg.kv_cache_quant:
         from whisper_tpu.models.whisper import decoder_step_t
 
         def beam_step(last, pos, cache):
@@ -466,9 +484,10 @@ def _beam_loop(params, cfg: WhisperConfig, cross_kv, cache, prefill_logits,
 
 
 _jit_beam_prefill = functools.partial(
-    jax.jit, static_argnames=("cfg", "beam_size", "total"))(_beam_prefill)
+    jax.jit, static_argnames=("cfg", "beam_size", "total", "use_t")
+)(_beam_prefill)
 _jit_beam_loop = functools.partial(
-    jax.jit, static_argnames=("cfg", "beam_size", "max_new", "opts")
+    jax.jit, static_argnames=("cfg", "beam_size", "max_new", "opts", "use_t")
 )(_beam_loop)
 
 
