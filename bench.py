@@ -13,10 +13,10 @@ weights (real checkpoints are unavailable offline; the compute is
 weight-value-independent since the step count is fixed).
 
 Headline config = the serving sweet spot measured on v5e: bfloat16, batch 32
-(sweep: b8 2109 / b16 3300 / b32 4371 / b64 4518 RTFx — flattens past b32 as
-the per-step KV-cache reads scale with batch). fp32 batch 8, the
-token-parity configuration, measures 1530 RTFx; env knobs below select any
-variant.
+(r2: b8 2680 / b32 4657 RTFx after the matmul-STFT mel frontend and the
+corrected flash-attention threshold — DESIGN.md §11-12; r1 sweep flattened
+past b32). fp32 batch 8, the token-parity configuration, measures 1530
+RTFx; env knobs below select any variant.
 """
 
 from __future__ import annotations

@@ -25,6 +25,7 @@ Masking semantics (one kernel serves three call sites):
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -97,13 +98,19 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _env_block(name: str, default: int) -> int:
+    import os
+    return int(os.environ.get(name, default))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "block_q", "block_k", "interpret"))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     kv_len=None, q_offset=None, *,
                     causal: bool = False,
-                    block_q: int = 256, block_k: int = 512,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
                     interpret: bool = False) -> jax.Array:
     """softmax(q k^T / sqrt(D)) v with online softmax, never materializing
     the score matrix.
@@ -126,6 +133,15 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if q_offset is None:
         q_offset = 0
     scale = D ** -0.5
+    # Block defaults (v5e, tuned r2): BIG tiles — the per-program compute
+    # at Whisper sizes is ~0.1-1 GFLOP, so the sequential Pallas grid's
+    # per-program overhead dominates with small tiles (256/512 blocks ran
+    # the tiny encoder layer at 689 us vs a ~150 us roofline). Env knobs
+    # WHISPER_TPU_FLASH_BQ/BK for A/B.
+    if block_q is None:
+        block_q = _env_block("WHISPER_TPU_FLASH_BQ", 1536)
+    if block_k is None:
+        block_k = _env_block("WHISPER_TPU_FLASH_BK", 1536)
 
     # unify dtypes: mixed fp32-q/bf16-kv fails Mosaic's dot lowering
     # ("Bad lhs type"), and mixed inputs are never intentional here
@@ -133,8 +149,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     v = v.astype(q.dtype)
 
     qt = jnp.transpose(q, (0, 2, 1, 3))                  # (B, H, T, D)
-    # sublane-align small prefills (16 covers bf16's (16, 128) min tile)
+    # sublane-align small prefills (16 covers bf16's (16, 128) min tile);
+    # never let a block exceed the (rounded) actual extent
     block_q = min(block_q, _round_up(T, 16))
+    block_k = min(block_k, _round_up(S, 128))
     t_pad = _round_up(T, block_q)
     s_pad = _round_up(S, block_k)
     if t_pad != T:
