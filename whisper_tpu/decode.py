@@ -540,19 +540,21 @@ def detect_language(params, cfg: WhisperConfig,
     return jax.nn.softmax(lang.astype(jnp.float32), axis=-1)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "max_new", "opts", "beam_size"))
 def transcribe_tokens(params, cfg: WhisperConfig, mel: jax.Array,
                       prompt: jax.Array,
                       max_new: Optional[int] = None,
                       opts: Optional[DecodeOptions] = None,
                       beam_size: int = 1,
                       rng: Optional[jax.Array] = None) -> DecodeResult:
-    """End-to-end jitted: (B, n_mels, n_frames) mel + (B, P) prompt ->
-    tokens. One compilation per (model, batch, prompt-length, strategy)."""
-    enc_out = encoder_forward(params, cfg, mel)
-    if beam_size > 1:
-        return beam_decode(params, cfg, enc_out, prompt, beam_size,
-                           max_new=max_new, opts=opts)
-    return greedy_decode(params, cfg, enc_out, prompt, max_new=max_new,
-                         opts=opts, rng=rng)
+    """(B, n_mels, n_frames) mel + (B, P) prompt -> tokens, as chained
+    jitted programs: [encoder] | [decode prefill] | [decode loop] (async
+    dispatch pipelines the enqueues; the loop compiled as its own program
+    runs ~1.5x faster per step — DESIGN.md §13). Called under an enclosing
+    trace everything inlines into one program as before."""
+    if isinstance(mel, jax.core.Tracer):
+        enc_out = encoder_forward(params, cfg, mel)
+    else:
+        enc_out = encode(params, cfg, mel)
+    return decode_from_encoder(params, cfg, enc_out, prompt,
+                               max_new=max_new, opts=opts,
+                               beam_size=beam_size, rng=rng)

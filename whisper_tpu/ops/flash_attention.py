@@ -136,10 +136,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     # Block defaults (v5e, tuned r2): BIG tiles — the per-program compute
     # at Whisper sizes is ~0.1-1 GFLOP, so the sequential Pallas grid's
     # per-program overhead dominates with small tiles (256/512 blocks ran
-    # the tiny encoder layer at 689 us vs a ~150 us roofline). Env knobs
-    # WHISPER_TPU_FLASH_BQ/BK for A/B.
+    # the tiny encoder layer at 689 us; 1536/1536 measured 510). The
+    # fp32 score tile is block_q x block_k x 4 B of VMEM, so block_q is
+    # capped at 768 (4.5 MB scores; 1536x1536's ~17 MB tripped the 16 MB
+    # scoped default at b32). Env knobs WHISPER_TPU_FLASH_BQ/BK for A/B.
     if block_q is None:
-        block_q = _env_block("WHISPER_TPU_FLASH_BQ", 1536)
+        block_q = _env_block("WHISPER_TPU_FLASH_BQ", 768)
     if block_k is None:
         block_k = _env_block("WHISPER_TPU_FLASH_BK", 1536)
 
@@ -188,7 +190,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, t_pad, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            # headroom over the 16 MB scoped default for big env-override
+            # blocks (score tile = block_q x block_k x 4 B)
+            vmem_limit_bytes=64 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * T * S * D,
             bytes_accessed=(B * H * (T + 2 * S) * D * q.dtype.itemsize
