@@ -21,7 +21,6 @@ RTFx; env knobs below select any variant.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time

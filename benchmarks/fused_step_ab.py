@@ -38,7 +38,6 @@ from whisper_tpu.config import get_config
 from whisper_tpu.decode import _make_fused_step
 from whisper_tpu.models.whisper import (
     decoder_forward,
-    final_logits,
     init_kv_cache,
     init_params,
     precompute_cross_kv,

@@ -99,6 +99,9 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _env_block(name: str, default: int) -> int:
+    """A/B knob, read at TRACE time: the jit cache keys on the (None) block
+    args, so changing the env var mid-process does not retrigger a trace —
+    set it before the first call (benchmarks run one setting per process)."""
     import os
     return int(os.environ.get(name, default))
 
