@@ -91,3 +91,41 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server.port, "/nope", b"", "text/plain")
     assert e.value.code == 404
+
+
+@pytest.fixture(scope="module")
+def continuous_server(small_cfg):
+    """The continuous-engine variant: same HTTP surface, token-granular
+    slot batching under the hood."""
+    import jax
+    from whisper_tpu.models.whisper import init_params
+    from whisper_tpu.serving_continuous import ContinuousBatcher
+    from whisper_tpu.server import ContinuousEngine, TranscriptionServer
+
+    params = init_params(small_cfg, jax.random.PRNGKey(0))
+    eng = ContinuousEngine(ContinuousBatcher(params, small_cfg,
+                                             max_slots=2, max_new=4))
+    with TranscriptionServer(eng, small_cfg, host="127.0.0.1", port=0) as s:
+        yield s
+
+
+def test_continuous_engine_transcribes(continuous_server):
+    status, body = _post(continuous_server.port,
+                         "/v1/audio/transcriptions?language=en",
+                         _wav_bytes(), "audio/wav")
+    assert status == 200
+    assert body["tokens"][:4] == [50258, 50259, 50359, 50363]
+    assert body["batch_size"] >= 1
+
+
+def test_continuous_engine_concurrent(continuous_server):
+    """Two concurrent requests share the slot engine and both complete."""
+    import concurrent.futures as cf
+    with cf.ThreadPoolExecutor(2) as ex:
+        futs = [ex.submit(_post, continuous_server.port,
+                          "/v1/audio/transcriptions",
+                          _wav_bytes(freq=300 + 100 * i), "audio/wav")
+                for i in range(2)]
+        for f in futs:
+            status, body = f.result(timeout=180)
+            assert status == 200 and body["tokens"][0] == 50258

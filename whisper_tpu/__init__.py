@@ -22,8 +22,9 @@ from whisper_tpu.config import WhisperConfig, CONFIGS, get_config
 
 __version__ = "0.2.0"
 __all__ = ["WhisperConfig", "CONFIGS", "get_config", "WhisperPipeline",
-           "BatchedTranscriber", "ShardedPipeline", "Tokenizer",
-           "DecodeOptions", "__version__"]
+           "BatchedTranscriber", "ContinuousBatcher", "ShardedPipeline",
+           "TranscriptionServer", "Tokenizer", "DecodeOptions",
+           "__version__"]
 
 _LAZY = {
     # Lazy imports keep `import whisper_tpu` cheap (these pull in jax).
@@ -32,6 +33,7 @@ _LAZY = {
     "ContinuousBatcher": ("whisper_tpu.serving_continuous",
                           "ContinuousBatcher"),
     "ShardedPipeline": ("whisper_tpu.parallel.inference", "ShardedPipeline"),
+    "TranscriptionServer": ("whisper_tpu.server", "TranscriptionServer"),
     "Tokenizer": ("whisper_tpu.tokenizer", "Tokenizer"),
     "DecodeOptions": ("whisper_tpu.decode_rules", "DecodeOptions"),
 }

@@ -144,6 +144,79 @@ def make_handler(transcriber, cfg, stats: _Stats):
     return Handler
 
 
+class ContinuousEngine:
+    """Adapter exposing the BatchedTranscriber interface on top of the
+    slot-based ContinuousBatcher: a pump thread drives step() whenever work
+    exists, HTTP threads submit() and block on a per-request future.
+    Requests join/leave the shared decode batch at TOKEN granularity, so a
+    long transcript never holds a batch hostage (serving_continuous.py)."""
+
+    def __init__(self, batcher):
+        import concurrent.futures
+        import queue as _q
+        self._b = batcher
+        self.max_batch = batcher.B
+        self.max_wait_s = 0.0
+        self._futures: dict[int, "concurrent.futures.Future"] = {}
+        self._lock = threading.Lock()
+        self._wake = _q.Queue()
+        self._closed = False
+        self._pump = threading.Thread(target=self._run, daemon=True)
+        self._pump.start()
+
+    def transcribe(self, audio: np.ndarray, language: str = "en",
+                   task: str = "transcribe"):
+        import concurrent.futures
+        import dataclasses
+        import time as _t
+        if self._closed:
+            raise RuntimeError("engine is closed")
+        fut: "concurrent.futures.Future" = concurrent.futures.Future()
+        t0 = _t.perf_counter()
+
+        def done(rid, ids):
+            occupancy = sum(s is not None for s in self._b._slots)
+            fut.set_result(_Result(
+                text=self._b.tokenizer.decode(ids), tokens=ids,
+                queued_s=_t.perf_counter() - t0, batch_size=occupancy))
+
+        with self._lock:
+            self._b.submit(audio, language, task, callback=done)
+        self._wake.put(None)
+        return fut.result()
+
+    def _run(self):
+        import queue as _q
+        while not self._closed:
+            with self._lock:
+                busy = (bool(self._b._queue)
+                        or any(s is not None for s in self._b._slots))
+            if busy:
+                with self._lock:
+                    self._b.step()
+            else:
+                try:                       # idle: sleep until a submit
+                    self._wake.get(timeout=0.2)
+                except _q.Empty:
+                    pass
+
+    def close(self):
+        self._closed = True
+        self._wake.put(None)
+        self._pump.join(timeout=30)
+
+
+import dataclasses as _dc
+
+
+@_dc.dataclass
+class _Result:
+    text: str
+    tokens: list
+    queued_s: float
+    batch_size: int
+
+
 class TranscriptionServer:
     """Owns the HTTP server + batcher pair; serve_forever() or use as a
     context manager (tests bind port 0 and read .port)."""
@@ -182,6 +255,12 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
     p.add_argument("--max-new", type=int, default=None)
+    p.add_argument("--engine", choices=["dynamic", "continuous"],
+                   default="dynamic",
+                   help="dynamic: whole-request batches (serving.py); "
+                        "continuous: token-granular slot engine "
+                        "(serving_continuous.py) — long transcripts never "
+                        "hold a batch hostage")
     args = p.parse_args(argv)
 
     from whisper_tpu.pipeline import WhisperPipeline
@@ -196,10 +275,16 @@ def main(argv: Optional[list] = None) -> int:
     else:
         p.error("need one of --weights / --flat-bin / --random-weights")
 
-    bt = BatchedTranscriber(pipe.params, pipe.cfg, pipe.tokenizer,
-                            max_batch=args.max_batch,
-                            max_wait_ms=args.max_wait_ms,
-                            max_new=args.max_new)
+    if args.engine == "continuous":
+        from whisper_tpu.serving_continuous import ContinuousBatcher
+        bt = ContinuousEngine(ContinuousBatcher(
+            pipe.params, pipe.cfg, max_slots=args.max_batch,
+            max_new=args.max_new, tokenizer=pipe.tokenizer))
+    else:
+        bt = BatchedTranscriber(pipe.params, pipe.cfg, pipe.tokenizer,
+                                max_batch=args.max_batch,
+                                max_wait_ms=args.max_wait_ms,
+                                max_new=args.max_new)
     srv = TranscriptionServer(bt, pipe.cfg, args.host, args.port)
     print(f"serving {pipe.cfg.name} on {args.host}:{srv.port} "
           f"(backend={jax.default_backend()})", flush=True)
