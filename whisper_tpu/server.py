@@ -167,7 +167,6 @@ class ContinuousEngine:
     def transcribe(self, audio: np.ndarray, language: str = "en",
                    task: str = "transcribe"):
         import concurrent.futures
-        import dataclasses
         import time as _t
         if self._closed:
             raise RuntimeError("engine is closed")
