@@ -96,3 +96,49 @@ def test_transcribe_tokens_jit_cache(small_cfg):
     r1 = transcribe_tokens(params, cfg, mel, prompt, max_new=5)
     r2 = transcribe_tokens(params, cfg, mel, prompt, max_new=5)
     np.testing.assert_array_equal(np.asarray(r1.tokens), np.asarray(r2.tokens))
+
+
+def test_beam_chunk_zero_pure_scan(small_cfg, monkeypatch):
+    """Regression (review r2): WHISPER_TPU_DECODE_CHUNK=0 used to spin the
+    beam while_loop forever (zero-length inner scan never advanced i);
+    both strategies must take the pure-scan branch and agree with the
+    default schedule."""
+    import whisper_tpu.decode as D
+    from whisper_tpu.models.whisper import init_params
+    from whisper_tpu.tokenizer import build_prompt
+
+    params = init_params(small_cfg, jax.random.PRNGKey(0))
+    enc = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, small_cfg.n_audio_ctx, small_cfg.d_model),
+                            jnp.float32)
+    prompt = jnp.asarray([build_prompt(small_cfg)], jnp.int32)
+    ref_g = D.greedy_decode(params, small_cfg, enc, prompt, max_new=4)
+    ref_b = D.beam_decode(params, small_cfg, enc, prompt, beam_size=2,
+                          max_new=4)
+    monkeypatch.setattr(D, "_DECODE_CHUNK", 0)
+    got_g = D.greedy_decode(params, small_cfg, enc, prompt, max_new=4)
+    got_b = D.beam_decode(params, small_cfg, enc, prompt, beam_size=2,
+                          max_new=4)
+    assert (np.asarray(got_g.tokens) == np.asarray(ref_g.tokens)).all()
+    assert (np.asarray(got_b.tokens) == np.asarray(ref_b.tokens)).all()
+
+
+def test_split_decode_optout_matches(small_cfg, monkeypatch):
+    """WHISPER_TPU_SPLIT_DECODE=0: the single-program eager path produces
+    identical results to the split path."""
+    import whisper_tpu.decode as D
+    from whisper_tpu.models.whisper import init_params
+    from whisper_tpu.tokenizer import build_prompt
+
+    params = init_params(small_cfg, jax.random.PRNGKey(2))
+    enc = jax.random.normal(jax.random.PRNGKey(3),
+                            (1, small_cfg.n_audio_ctx, small_cfg.d_model),
+                            jnp.float32)
+    prompt = jnp.asarray([build_prompt(small_cfg)], jnp.int32)
+    ref = D.greedy_decode(params, small_cfg, enc, prompt, max_new=4)
+    monkeypatch.setenv("WHISPER_TPU_SPLIT_DECODE", "0")
+    got = D.greedy_decode(params, small_cfg, enc, prompt, max_new=4)
+    got_b = D.beam_decode(params, small_cfg, enc, prompt, beam_size=2,
+                          max_new=4)
+    assert (np.asarray(got.tokens) == np.asarray(ref.tokens)).all()
+    assert got_b.tokens.shape[0] == 1

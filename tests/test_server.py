@@ -80,10 +80,14 @@ def test_bad_request_does_not_kill_engine(server):
 
 
 def test_stats_counts(server):
+    # issue our own traffic so the assertions hold in isolation
+    _post(server.port, "/v1/audio/transcriptions", _wav_bytes(), "audio/wav")
+    with pytest.raises(urllib.error.HTTPError):
+        _post(server.port, "/v1/audio/transcriptions", b"junk", "audio/wav")
     with urllib.request.urlopen(
             f"http://127.0.0.1:{server.port}/v1/stats", timeout=30) as r:
         body = json.loads(r.read())
-    assert body["completed"] >= 3 and body["failed"] >= 1
+    assert body["completed"] >= 1 and body["failed"] >= 1
     assert body["in_flight"] == 0
 
 
@@ -129,3 +133,18 @@ def test_continuous_engine_concurrent(continuous_server):
         for f in futs:
             status, body = f.result(timeout=180)
             assert status == 200 and body["tokens"][0] == 50258
+
+
+def test_continuous_engine_bad_language_fails_cleanly(continuous_server):
+    """Regression (review r2): a bad language param must fail THIS request
+    with 4xx/5xx and leave the engine alive — it used to kill the pump
+    thread and hang the server forever."""
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(continuous_server.port,
+              "/v1/audio/transcriptions?language=zz",
+              _wav_bytes(), "audio/wav")
+    assert e.value.code in (400, 500)
+    status, body = _post(continuous_server.port,
+                         "/v1/audio/transcriptions?language=en",
+                         _wav_bytes(), "audio/wav")
+    assert status == 200 and body["tokens"][0] == 50258

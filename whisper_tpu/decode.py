@@ -274,6 +274,25 @@ _jit_greedy_loop = functools.partial(
     jax.jit, static_argnames=("cfg", "opts", "max_new", "use_t"))(_greedy_loop)
 
 
+def _split_decode_enabled() -> bool:
+    """Whether eager decode dispatches split (prefill | loop) programs.
+    Split is the right default where dispatch is cheap (direct-attached
+    devices, CPU); WHISPER_TPU_SPLIT_DECODE=0 selects the single-program
+    path for hosts where each dispatch carries fixed cost (e.g. ~30 ms
+    through the axon tunnel, where the extra dispatch outweighs the
+    faster-compiling loop — DESIGN.md §13)."""
+    return os.environ.get("WHISPER_TPU_SPLIT_DECODE", "1") == "1"
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "opts", "max_new",
+                                             "total"))
+def _greedy_onejit(params, cfg, enc_out, prompt, logit_bias, rng, opts,
+                   max_new, total):
+    pre = _greedy_prefill(params, cfg, enc_out, prompt, total, use_t=False)
+    return _greedy_loop(params, cfg, *pre, prompt, logit_bias, rng,
+                        opts=opts, max_new=max_new, use_t=False)
+
+
 def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
                   prompt: jax.Array,
                   max_new: Optional[int] = None,
@@ -287,10 +306,11 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
     separately-jitted stages — prefill and the decode loop. Measured on v5e
     (tiny bf16 b8, DESIGN.md §13): compiling the loop in its own program
     cuts the per-step cost 557 -> 375 us (XLA schedules/allocates the loop
-    dramatically better without the mel/encoder/prefill graph around it),
-    and the two dispatches pipeline through async dispatch so end-to-end
-    wall drops 86 -> 65 ms despite the extra dispatch. Under an enclosing
-    trace the stages inline into one program (old behavior).
+    dramatically better without the mel/encoder/prefill graph around it).
+    On hosts where every dispatch carries a fixed cost (~30 ms through the
+    axon tunnel), the extra dispatch can outweigh the loop savings —
+    WHISPER_TPU_SPLIT_DECODE=0 selects a single-program eager path. Under
+    an enclosing trace the stages always inline into one program.
 
     Args:
       enc_out: (B, n_audio_ctx, d_model).
@@ -311,6 +331,9 @@ def greedy_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
         rng = jax.random.PRNGKey(0)
 
     eager = not isinstance(enc_out, jax.core.Tracer)
+    if eager and not _split_decode_enabled():
+        return _greedy_onejit(params, cfg, enc_out, prompt, logit_bias, rng,
+                              opts=opts, max_new=max_new, total=total)
     prefill = _jit_greedy_prefill if eager else _greedy_prefill
     loop = _jit_greedy_loop if eager else _greedy_loop
     # decoder_step_t only wins when the loop compiles as its own program
@@ -366,6 +389,10 @@ def beam_decode(params, cfg: WhisperConfig, enc_out: jax.Array,
         max_new = cfg.max_new_tokens
     total = prompt.shape[1] + 1 + max_new
     eager = not isinstance(enc_out, jax.core.Tracer)
+    if eager and not _split_decode_enabled():
+        return _beam_onejit(params, cfg, enc_out, prompt,
+                            beam_size=beam_size, max_new=max_new,
+                            opts=opts, total=total)
     prefill = _jit_beam_prefill if eager else _beam_prefill
     loop = _jit_beam_loop if eager else _beam_loop
     cross_kv, cache, logits = prefill(params, cfg, enc_out, prompt,
@@ -462,11 +489,16 @@ def _beam_loop(params, cfg: WhisperConfig, cross_kv, cache, prefill_logits,
 
     def chunk(state):
         state, _ = jax.lax.scan(step_once, state, None,
-                                length=min(_DECODE_CHUNK, max_new))
+                                length=max(min(_DECODE_CHUNK, max_new), 1))
         return state
 
-    _, tokens, _, sum_lp, _ = jax.lax.while_loop(
-        cond, chunk, (jnp.int32(0), tokens, cache, sum_lp, finished0))
+    state0 = (jnp.int32(0), tokens, cache, sum_lp, finished0)
+    if _DECODE_CHUNK <= 0:
+        # pure counted scan, no early exit (same A/B knob as greedy)
+        state, _ = jax.lax.scan(step_once, state0, None, length=max_new)
+        _, tokens, _, sum_lp, _ = state
+    else:
+        _, tokens, _, sum_lp, _ = jax.lax.while_loop(cond, chunk, state0)
 
     # rank beams by length-normalized score
     lens = _lengths(tokens, P, eot)                      # (B, W)
@@ -489,6 +521,16 @@ _jit_beam_prefill = functools.partial(
 _jit_beam_loop = functools.partial(
     jax.jit, static_argnames=("cfg", "beam_size", "max_new", "opts", "use_t")
 )(_beam_loop)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "beam_size", "max_new",
+                                             "opts", "total"))
+def _beam_onejit(params, cfg, enc_out, prompt, beam_size, max_new, opts,
+                 total):
+    pre = _beam_prefill(params, cfg, enc_out, prompt, beam_size=beam_size,
+                        total=total, use_t=False)
+    return _beam_loop(params, cfg, *pre, prompt, beam_size=beam_size,
+                      max_new=max_new, opts=opts, use_t=False)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -41,15 +41,22 @@ def initialize(coordinator_address: Optional[str] = None,
     other jax API. On Cloud TPU pods, call with no arguments (everything
     is auto-discovered); elsewhere pass the coordinator's host:port and
     this process's rank. No-op when already initialized or when running
-    single-process with no arguments."""
-    if jax.process_count() > 1:
-        return                      # already initialized
+    single-process with no arguments.
+
+    ORDER MATTERS: jax.distributed.initialize() must run before anything
+    that initializes the XLA backend — including jax.process_count() — so
+    the single-process decision is made purely from arguments/env."""
     if (coordinator_address is None and num_processes in (None, 1)
-            and not _on_tpu_pod()):
+            and process_id is None and not _on_tpu_pod()):
         return                      # single-process run: nothing to do
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return                  # idempotent: second call is a no-op
+        raise
 
 
 def _on_tpu_pod() -> bool:

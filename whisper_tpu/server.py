@@ -33,6 +33,7 @@ import json
 import os
 import tempfile
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -151,15 +152,16 @@ class ContinuousEngine:
     Requests join/leave the shared decode batch at TOKEN granularity, so a
     long transcript never holds a batch hostage (serving_continuous.py)."""
 
+    REQUEST_TIMEOUT_S = 600.0
+
     def __init__(self, batcher):
-        import concurrent.futures
         import queue as _q
         self._b = batcher
         self.max_batch = batcher.B
         self.max_wait_s = 0.0
-        self._futures: dict[int, "concurrent.futures.Future"] = {}
         self._lock = threading.Lock()
         self._wake = _q.Queue()
+        self._pending: list = []          # futures not yet resolved
         self._closed = False
         self._pump = threading.Thread(target=self._run, daemon=True)
         self._pump.start()
@@ -170,10 +172,17 @@ class ContinuousEngine:
         import time as _t
         if self._closed:
             raise RuntimeError("engine is closed")
+        # validate BEFORE enqueueing: a bad request must fail on THIS
+        # thread (HTTP 400), never inside the shared pump thread
+        from whisper_tpu.tokenizer import build_prompt
+        build_prompt(self._b.cfg, language if language != "auto" else "en",
+                     task)
         fut: "concurrent.futures.Future" = concurrent.futures.Future()
         t0 = _t.perf_counter()
 
         def done(rid, ids):
+            if fut.done():                 # already failed by the pump
+                return
             occupancy = sum(s is not None for s in self._b._slots)
             fut.set_result(_Result(
                 text=self._b.tokenizer.decode(ids), tokens=ids,
@@ -181,8 +190,14 @@ class ContinuousEngine:
 
         with self._lock:
             self._b.submit(audio, language, task, callback=done)
+            self._pending.append(fut)
         self._wake.put(None)
-        return fut.result()
+        try:
+            return fut.result(timeout=self.REQUEST_TIMEOUT_S)
+        finally:
+            with self._lock:
+                if fut in self._pending:
+                    self._pending.remove(fut)
 
     def _run(self):
         import queue as _q
@@ -191,8 +206,17 @@ class ContinuousEngine:
                 busy = (bool(self._b._queue)
                         or any(s is not None for s in self._b._slots))
             if busy:
-                with self._lock:
-                    self._b.step()
+                try:
+                    with self._lock:
+                        self._b.step()
+                except Exception as e:     # engine fault: fail the pending
+                    with self._lock:      # requests, keep the pump alive
+                        for fut in self._pending:
+                            if not fut.done():
+                                fut.set_exception(e)
+                        self._pending.clear()
+                        self._b._queue.clear()
+                    time.sleep(0.05)       # no hot spin on persistent faults
             else:
                 try:                       # idle: sleep until a submit
                     self._wake.get(timeout=0.2)

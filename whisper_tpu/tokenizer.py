@@ -176,8 +176,13 @@ class Tokenizer:
         (see _merge_ranks). decode(encode(t)) == t for all text; unlike
         encode_greedy, segmentations match what the model saw in training,
         which is what initial_prompt / prev-text conditioning should feed
-        it."""
-        import regex
+        it. Needs the third-party `regex` module for the \\p{L} classes
+        (declared in pyproject); falls back to greedy longest-match if it
+        is somehow absent."""
+        try:
+            import regex
+        except ImportError:
+            return self.encode_greedy(text)
         if Tokenizer._PRETOK is None:
             Tokenizer._PRETOK = regex.compile(
                 r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"
