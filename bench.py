@@ -13,10 +13,10 @@ weights (real checkpoints are unavailable offline; the compute is
 weight-value-independent since the step count is fixed).
 
 Headline config = the serving sweet spot measured on v5e: bfloat16, batch 32
-(r2: b8 2680 / b32 4657 RTFx after the matmul-STFT mel frontend and the
-corrected flash-attention threshold — DESIGN.md §11-12; r1 sweep flattened
-past b32). fp32 batch 8, the token-parity configuration, measures 1530
-RTFx; env knobs below select any variant.
+(r2: b32 6021 / b8 3281 RTFx after the matmul-STFT mel frontend, the
+corrected flash-attention threshold, and split-stage decoding — DESIGN.md
+§11-13). fp32 batch 8, the token-parity configuration, measured 1530 RTFx
+in r1; env knobs below select any variant.
 """
 
 from __future__ import annotations
@@ -78,15 +78,15 @@ def main() -> None:
     bias = bias.at[cfg.eot_token].set(-1e9)
     total = prompt.shape[1] + GEN_TOKENS
 
-    # Two execution modes (WHISPER_BENCH_SPLIT=1 selects the split):
-    #  * one-jit: mel+encoder+prefill+loop in a single program — best on
-    #    THIS rig, where each axon-tunnel dispatch costs ~30 ms of
-    #    serialized host time (a second dispatch costs more than the
-    #    split-compiled loop saves: 89 x (557-375 us) ≈ 16 ms at b8).
-    #  * split: [mel+encoder+prefill] | [decode loop] as two programs —
-    #    the loop alone compiles ~1.5x faster per step (DESIGN.md §13);
-    #    wins wherever dispatch is sub-ms (any direct-attached deployment).
-    if os.environ.get("WHISPER_BENCH_SPLIT", "0") == "1":
+    # Two execution modes (WHISPER_BENCH_SPLIT=0 selects one-jit):
+    #  * split (default): [mel+encoder+prefill] | [decode loop] as two
+    #    programs chained by async dispatch — the decode loop compiled as
+    #    its own program runs up to 3x faster per step (DESIGN.md §13).
+    #    Measured on the final r2 code, v5e through the axon tunnel:
+    #    b32 6021 vs 4648 RTFx, b8 3281 vs 2659 — the loop savings beat
+    #    the ~30 ms extra dispatch at every batch.
+    #  * one-jit: everything in a single program (the r1 configuration).
+    if os.environ.get("WHISPER_BENCH_SPLIT", "1") == "1":
         @jax.jit
         def stage1(params, audio, prompt):
             mel = log_mel_spectrogram(audio, cfg)
