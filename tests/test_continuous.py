@@ -170,3 +170,31 @@ def test_timestamps_mode_in_continuous(nano):
     P = 3                                        # [sot, lang, task]
     first_gen = ids[P]
     assert first_gen >= cfg.timestamp_begin or first_gen == cfg.eot_token
+
+
+def test_engine_fault_recovery(nano):
+    """One poisoned in-flight request must not permanently disable the
+    continuous engine: the pump fails the pending futures, resets the
+    batcher slots, and serves subsequent requests normally."""
+    from whisper_tpu.server import ContinuousEngine
+    cfg, params = nano
+    b = ContinuousBatcher(params, cfg, max_slots=2, max_new=4)
+    eng = ContinuousEngine(b)
+    real_step = b.step
+    fail = {"on": True}
+
+    def step():
+        if fail["on"]:
+            raise RuntimeError("poisoned step")
+        real_step()
+
+    b.step = step
+    try:
+        with pytest.raises(RuntimeError, match="poisoned step"):
+            eng.transcribe(_audio(0))
+        assert all(s is None for s in b._slots)   # slots recovered
+        fail["on"] = False
+        res = eng.transcribe(_audio(1))
+        assert res.tokens[:4] == [50258, 50259, 50359, 50363]
+    finally:
+        eng.close()

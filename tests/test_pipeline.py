@@ -92,6 +92,11 @@ def test_energy_vad_unit():
     # quiet noise below -40 dBFS is not speech
     assert not energy_vad(
         (np.random.RandomState(0).randn(sr) * 1e-4).astype(np.float32))
+    # a short loud clip (< min_speech_frames full 30 ms frames, e.g. the
+    # trailing window of a long file) still classifies as speech
+    t60 = np.arange(int(sr * 0.06)) / sr
+    assert energy_vad((0.1 * np.sin(2 * np.pi * 220 * t60)).astype(np.float32))
+    assert not energy_vad(np.zeros(int(sr * 0.06), np.float32))
 
 
 def test_alignment_heads_sidecar(tmp_path):

@@ -104,3 +104,18 @@ class TestCanonicalBPE:
     def test_round_trip_greedy_still_holds(self, tok):
         t = " prompt conditioning text"
         assert tok.decode(tok.encode_greedy(t)) == t
+
+
+def test_load_merges_overrides_reconstruction(tok, tmp_path):
+    """load_merges(): a real merges.txt replaces the reconstructed table and
+    drives encode() (rank order from the file, not from vocab ids)."""
+    t = Tokenizer()
+    # warm the reconstructed table, then override with an authoritative file
+    assert len(t._merge_ranks) > 0
+    merges = tmp_path / "merges.txt"
+    merges.write_text("#version: 0.2\nĠ t\nĠt he\n")
+    t.load_merges(str(merges))
+    assert t._merge_ranks == {("Ġ", "t"): 0, ("Ġt", "he"): 1}
+    # round-trip decode still exact with the restricted table
+    pytest.importorskip("regex")
+    assert t.decode(t.encode("the theme")) == "the theme"

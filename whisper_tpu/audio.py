@@ -186,4 +186,8 @@ def energy_vad(audio: np.ndarray, sample_rate: int = 16_000,
         frames = audio[:n].reshape(-1, frame)
     rms = np.sqrt(np.mean(np.square(frames), axis=1) + 1e-12)
     db = 20.0 * np.log10(rms + 1e-12)
-    return int((db > threshold_db).sum()) >= min_speech_frames
+    # Short clips (< min_speech_frames full frames, e.g. the trailing
+    # window of a long file) can never reach the default quorum — scale the
+    # requirement down so a loud short tail still classifies as speech.
+    need = min(min_speech_frames, max(1, frames.shape[0]))
+    return int((db > threshold_db).sum()) >= need

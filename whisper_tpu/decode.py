@@ -46,7 +46,13 @@ def _fused_step_enabled(cfg: WhisperConfig) -> bool:
     HBM floor, leaving no room to repay a fusion boundary), so it stays
     opt-in as the weight-resident-decode platform for larger models.
     WHISPER_TPU_FUSED=0|1 overrides; cfg.fused_step forces (True off-TPU
-    runs the kernel in interpret mode — tests)."""
+    runs the kernel in interpret mode — tests).
+
+    Set WHISPER_TPU_FUSED (and WHISPER_TPU_SPLIT_DECODE) BEFORE the first
+    decode call of the process: both are read at trace time, and the jit
+    cache keys on shapes/statics only, so a mid-process flip is silently
+    ignored for already-traced configs (same caveat as flash_attention's
+    _env_block)."""
     import os
     if cfg.kv_cache_quant:
         return False

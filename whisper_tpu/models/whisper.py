@@ -239,13 +239,6 @@ def dequantize_kv(q: jax.Array, s: jax.Array, dtype) -> jax.Array:
     return (q.astype(jnp.float32) * s).astype(dtype)
 
 
-def _maybe_dequant(entry: dict, name: str, dtype) -> jax.Array:
-    """Read 'k' or 'v' from a cache slice that may be quantized."""
-    if name + "_s" in entry:
-        return dequantize_kv(entry[name], entry[name + "_s"], dtype)
-    return entry[name].astype(dtype)
-
-
 def _cache_attention(q: jax.Array, entry: dict, kv_len, *,
                      causal: bool, q_offset, cfg: WhisperConfig,
                      dtype) -> jax.Array:

@@ -92,11 +92,18 @@ def moe_mlp(x: jax.Array, params: dict) -> jax.Array:
     return y * gate_val
 
 
+_moe_mlp_jit = None
+
+
 def moe_mlp_sharded(x: jax.Array, params: dict, mesh: Mesh,
                     batch_axis: Optional[str] = "dp") -> jax.Array:
     """Convenience wrapper: jit moe_mlp with x batch-sharded and params
-    expert-sharded on the given mesh."""
+    expert-sharded on the given mesh. The jitted callable is module-level
+    so its trace/compile cache is shared across calls."""
+    global _moe_mlp_jit
+    if _moe_mlp_jit is None:
+        _moe_mlp_jit = jax.jit(moe_mlp)
     xs = NamedSharding(mesh, P(batch_axis, None, None)
                        if batch_axis else P(None, None, None))
     x = jax.device_put(x, xs)
-    return jax.jit(moe_mlp)(x, params)
+    return _moe_mlp_jit(x, params)

@@ -199,6 +199,24 @@ class ContinuousEngine:
                 if fut in self._pending:
                     self._pending.remove(fut)
 
+    def _reset_slots(self):
+        """Recover service after a step() fault: a poisoned in-flight slot
+        would otherwise stay busy=True forever (step() re-raising on every
+        pump iteration turns one bad request into a permanent outage while
+        /healthz still reports ok). Called with self._lock held."""
+        b = self._b
+        b._slots = [None] * b.B
+        try:
+            b.state = {
+                **b.state,
+                "active": b.state["active"].at[:].set(False),
+                "finished": b.state["finished"].at[:].set(False),
+                "pos": b.state["pos"].at[:].set(0),
+            }
+        except Exception:
+            pass                           # device-side state unusable; the
+                                           # next fill rewrites every field
+
     def _run(self):
         import queue as _q
         while not self._closed:
@@ -216,6 +234,7 @@ class ContinuousEngine:
                                 fut.set_exception(e)
                         self._pending.clear()
                         self._b._queue.clear()
+                        self._reset_slots()
                     time.sleep(0.05)       # no hot spin on persistent faults
             else:
                 try:                       # idle: sleep until a submit

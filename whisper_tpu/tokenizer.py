@@ -148,9 +148,13 @@ class Tokenizer:
         each multi-unit token's producing merge is recoverable as the split
         (a, b) minimizing max(id(a), id(b)) — both halves must already
         exist when the merge fires, and the latest-created half determines
-        when the token becomes constructible. Exact for vocabs actually
-        built by BPE; tokens with no in-vocab split (none in the shipped
-        multilingual vocab's text region) simply get no merge."""
+        when the token becomes constructible. This is a reconstruction
+        HEURISTIC: ties and alternative splits can in principle recover a
+        different pair than the true merges.txt, so encode() segmentations
+        are best-effort-canonical (round-trip decode(encode(t)) == t always
+        holds; only prompt-conditioning token CHOICE could differ). If a
+        real merges.txt is available, prefer load_merges(); tokens with no
+        in-vocab split simply get no merge."""
         vocab = self._vocab_index
         ranks: dict[tuple[str, str], int] = {}
         for tok, tid in sorted(vocab.items(), key=lambda kv: kv[1]):
@@ -167,6 +171,24 @@ class Tokenizer:
                 pair = (tok[:best[1]], tok[best[1]:])
                 ranks.setdefault(pair, len(ranks))
         return ranks
+
+    def load_merges(self, merges_path: str) -> None:
+        """Replace the reconstructed merge table with a real GPT-2
+        merges.txt (one "a b" pair per line, optional "#version" header,
+        rank = line order). Use when checkpoint-adjacent tokenizer files are
+        available — encode() then matches canonical BPE exactly rather than
+        via the _merge_ranks reconstruction heuristic."""
+        ranks: dict[tuple[str, str], int] = {}
+        with open(merges_path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                a, _, b = line.partition(" ")
+                if b:
+                    ranks.setdefault((a, b), len(ranks))
+        # overwrite the cached_property slot with the authoritative table
+        self.__dict__["_merge_ranks"] = ranks
 
     _PRETOK = None          # compiled GPT-2 pre-tokenizer pattern (lazy)
 

@@ -79,8 +79,7 @@ def from_hf_state_dict(state: Mapping[str, Any], cfg: WhisperConfig) -> Params:
 
     def dec_layer(i: int) -> dict:
         p = f"model.decoder.layers.{i}"
-        d = enc_layer(0)  # placeholder; rebuild with decoder prefix
-        d = {
+        return {
             "attn": _attn(get, p + ".self_attn"),
             "attn_ln": _ln(get, p + ".self_attn_layer_norm"),
             "cross_attn": _attn(get, p + ".encoder_attn"),
@@ -89,7 +88,6 @@ def from_hf_state_dict(state: Mapping[str, Any], cfg: WhisperConfig) -> Params:
             "fc2": _lin(get, p + ".fc2"),
             "mlp_ln": _ln(get, p + ".final_layer_norm"),
         }
-        return d
 
     return {
         "encoder": {
