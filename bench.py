@@ -44,6 +44,7 @@ REPEATS = 5
 DTYPE = os.environ.get("WHISPER_BENCH_DTYPE", "bfloat16")
 BACKEND = os.environ.get("WHISPER_TPU_ATTN")     # None = auto
 KV_QUANT = os.environ.get("WHISPER_BENCH_KVQUANT", "0") == "1"
+CROSS_QUANT = os.environ.get("WHISPER_BENCH_CROSSQUANT", "0") == "1"
 
 
 def main() -> None:
@@ -54,7 +55,8 @@ def main() -> None:
     from whisper_tpu.tokenizer import build_prompt
 
     cfg = get_config("tiny").replace(compute_dtype=DTYPE, attn_backend=BACKEND,
-                                     kv_cache_quant=KV_QUANT)
+                                     kv_cache_quant=KV_QUANT,
+                                     cross_kv_quant=CROSS_QUANT)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if DTYPE == "bfloat16":
         from whisper_tpu.weights import to_device

@@ -117,6 +117,22 @@ def main() -> None:
                      "us_per_step": round(us_xla * 1e6, 1)})
         print(json.dumps(rows[-1]), flush=True)
 
+        # production split-loop formulation (transposed loop-local cache)
+        from whisper_tpu.models.whisper import (
+            decoder_step_t,
+            transpose_self_cache,
+        )
+        cache_t = transpose_self_cache(cache)
+
+        def t_step(l, pos, c):
+            return decoder_step_t(params, cfg, l, pos, c, cross)
+
+        us_t, toks_t = time_runner(t_step, P, cache_t, last, args.steps)
+        rows.append({"batch": B, "variant": "step_t",
+                     "us_per_step": round(us_t * 1e6, 1),
+                     "tokens_match_xla": bool((toks_t == toks_xla).all())})
+        print(json.dumps(rows[-1]), flush=True)
+
         for blk in [int(x) for x in args.blocks.split(",")]:
             fcfg = cfg.replace(fused_step=True)
             os.environ["WHISPER_TPU_FUSED_BLOCK_CROSS"] = str(blk)

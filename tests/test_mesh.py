@@ -52,9 +52,53 @@ def test_shard_params_places_on_mesh(small_cfg):
     sharded = shard_params(params, mesh)
     fc1 = sharded["encoder"]["layers"]["fc1"]["w"]
     assert "tp" in str(fc1.sharding.spec)
-    # vocab (51865) indivisible by 2 -> replicated, not an error
+    # vocab (51865) indivisible by 2 -> PADDED to a divisible row count and
+    # genuinely row-sharded (the 51k-logit matmul splits over tp)
     tok = sharded["decoder"]["tok_emb"]
-    assert tok.sharding.spec == P(None, None)
+    assert tok.sharding.spec == P("tp", None)
+    assert tok.shape[0] % (2 * 128) == 0 and tok.shape[0] >= 51865
+    # pad rows are exact zeros (inert under the tied-logit matmul)
+    assert not np.asarray(tok[51865:]).any()
+
+
+def test_padded_vocab_rows():
+    from whisper_tpu.parallel.mesh import padded_vocab_rows
+    for tp in (2, 4, 8):
+        for v in (51_865, 51_864, 51_866):
+            rows = padded_vocab_rows(v, tp)
+            assert rows >= v and rows % (tp * 128) == 0
+    assert padded_vocab_rows(51_865, 4) == 52_224
+
+
+def test_vocab_padding_preserves_logits(small_cfg):
+    """tp-sharded (padded-vocab) prefill logits == unsharded, exact shape
+    (the pad logits are sliced off inside final_logits)."""
+    import jax.numpy as jnp
+    from whisper_tpu.models.whisper import (
+        decoder_forward, init_kv_cache, init_params, precompute_cross_kv)
+    from whisper_tpu.tokenizer import build_prompt
+    from jax.sharding import NamedSharding
+    cfg = small_cfg
+    params = init_params(cfg, jax.random.PRNGKey(3))
+    rng = np.random.RandomState(5)
+    enc = jnp.asarray(rng.randn(2, cfg.n_audio_ctx, cfg.d_model) * 0.3,
+                      jnp.float32)
+    prompt = jnp.asarray(np.tile(build_prompt(cfg), (2, 1)), jnp.int32)
+
+    def prefill(p, e, pr):
+        cross = precompute_cross_kv(p, cfg, e)
+        cache = init_kv_cache(cfg, 2)
+        logits, _ = decoder_forward(p, cfg, pr, jnp.int32(0), cache, cross)
+        return logits
+
+    ref = np.asarray(jax.jit(prefill)(params, enc, prompt))
+    mesh = make_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+    sp = shard_params(params, mesh)
+    got = np.asarray(jax.jit(prefill)(
+        sp, jax.device_put(enc, NamedSharding(mesh, P())),
+        jax.device_put(prompt, NamedSharding(mesh, P()))))
+    assert got.shape == ref.shape == (2, prompt.shape[1], cfg.vocab_size)
+    np.testing.assert_allclose(got, ref, atol=5e-3, rtol=1e-4)
 
 
 def test_activation_shardings_sp_aware():

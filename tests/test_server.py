@@ -4,6 +4,7 @@ socket: POST WAV bytes and JSON-b64 forms, health/stats, error paths."""
 import io
 import json
 import base64
+import urllib.error
 import urllib.request
 import wave
 
@@ -148,3 +149,47 @@ def test_continuous_engine_bad_language_fails_cleanly(continuous_server):
                          "/v1/audio/transcriptions?language=en",
                          _wav_bytes(), "audio/wav")
     assert status == 200 and body["tokens"][0] == 50258
+
+
+def test_streaming_sse_endpoint(small_cfg):
+    """POST ?stream=1 against the continuous engine: SSE events arrive one
+    per token, then a final done event with the full result."""
+    import jax
+    from whisper_tpu.models.whisper import init_params
+    from whisper_tpu.server import ContinuousEngine, TranscriptionServer
+    from whisper_tpu.serving_continuous import ContinuousBatcher
+
+    params = init_params(small_cfg, jax.random.PRNGKey(0))
+    eng = ContinuousEngine(ContinuousBatcher(params, small_cfg,
+                                             max_slots=2, max_new=5))
+    with TranscriptionServer(eng, small_cfg, host="127.0.0.1", port=0) as s:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{s.port}/v1/audio/transcriptions?stream=1",
+            data=_wav_bytes(), headers={"Content-Type": "audio/wav"},
+            method="POST")
+        events = []
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            for raw in r:
+                line = raw.decode().strip()
+                if line.startswith("data: "):
+                    events.append(json.loads(line[6:]))
+    assert events, "no SSE events received"
+    final = events[-1]
+    assert final.get("done") is True
+    toks = [e["token"] for e in events[:-1]]
+    assert final["tokens"][:4] == [50258, 50259, 50359, 50363]
+    # streamed tokens are exactly the generated region of the final result
+    assert final["tokens"][-len(toks):] == toks
+    assert isinstance(final["text"], str)
+
+
+def test_streaming_rejected_on_dynamic_engine(server):
+    status = None
+    try:
+        _post(server.port, "/v1/audio/transcriptions?stream=1",
+              _wav_bytes(), "audio/wav")
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 501

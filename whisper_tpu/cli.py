@@ -66,6 +66,10 @@ def main(argv=None) -> int:
                    "(default: stdout)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (fused dequant kernel on TPU)")
+    p.add_argument("--cross-kv-quant", action="store_true",
+                   help="int8 CROSS cache only (self stays bf16): halves "
+                        "the dominant per-step decode read; composes with "
+                        "the split decode loop")
     p.add_argument("--seed", type=int, default=0, help="sampling seed")
     p.add_argument("--vad-db", type=float, default=None, metavar="DB",
                    help="energy VAD gate: skip 30 s windows whose frames "
@@ -84,6 +88,8 @@ def main(argv=None) -> int:
     cfg = get_config(args.model)
     if args.kv_quant:
         cfg = cfg.replace(kv_cache_quant=True)
+    if args.cross_kv_quant:
+        cfg = cfg.replace(cross_kv_quant=True)
     if args.flat_bin:
         pipe = WhisperPipeline.from_flat_bin(args.flat_bin, cfg, args.vocab)
     elif args.weights:

@@ -46,6 +46,13 @@ class WhisperConfig:
     # int8 KV cache (self + cross) with per-vector scales: ~2x less cache
     # HBM traffic per decode step at a small accuracy cost.
     kv_cache_quant: bool = False
+    # int8 CROSS cache only (self stays bf16/fp32): the cross K/V is the
+    # dominant per-step decode read (~74 MB of ~115 MB at tiny b8 — every
+    # step touches all 1500 audio positions), and unlike kv_cache_quant
+    # this composes with the split decode loop — cross-attention reads
+    # stream int8 tiles through the Pallas decode kernel and dequantize in
+    # VMEM (ops/decode_attention.decode_attention_q8_bh).
+    cross_kv_quant: bool = False
     # Fused decoder-step megakernel (ops/decoder_step.py): one Pallas
     # program per greedy decode step instead of ~60 XLA fusions. None =
     # auto (currently OFF: token-identical on v5e but slower than the XLA

@@ -180,12 +180,47 @@ def sinusoidal_positions(length: int, channels: int) -> jax.Array:
 # encoder
 # ---------------------------------------------------------------------------
 
+def _encoder_tail_mode(cfg: WhisperConfig, B: int, T: int) -> str:
+    """Dispatch for the fused encoder-block-tail kernel
+    (ops/encoder_layer.py): 'pallas' | 'interpret' | 'off'.
+
+    Auto policy mirrors the flash threshold (the tail kernel subsumes
+    flash): engage on TPU whenever the materialized score matrix would be
+    HBM-resident. WHISPER_TPU_FUSED_ENCODER=0|1 overrides (read at TRACE
+    time — set before the first encoder call)."""
+    import os
+
+    from whisper_tpu.ops.attention import (
+        _FLASH_MIN_SCORE_BYTES,
+        default_backend,
+    )
+    backend = cfg.attn_backend or default_backend()
+    env = os.environ.get("WHISPER_TPU_FUSED_ENCODER")
+    if env == "0" or backend == "reference":
+        return "off"
+    if backend == "pallas_interpret":
+        return "interpret"
+    if env == "1" or backend == "pallas":
+        return "pallas"
+    # auto: same size gate as flash, on real TPU only
+    if (backend == "auto" and jax.default_backend() == "tpu"
+            and B * cfg.n_heads * T * T * 4 >= _FLASH_MIN_SCORE_BYTES):
+        return "pallas"
+    return "off"
+
+
 def encoder_forward(params: Params, cfg: WhisperConfig,
                     mel: jax.Array) -> jax.Array:
     """(B, n_mels, n_frames) -> (B, n_audio_ctx, d_model).
 
     conv1 (k3 s1 p1) -> GeLU -> conv2 (k3 s2 p1) -> GeLU -> +pos ->
-    N pre-norm blocks -> final LN (reference whisper.mojo:34-99)."""
+    N pre-norm blocks -> final LN (reference whisper.mojo:34-99).
+
+    Block tail (attention + o-proj + LN2 + MLP) runs as ONE fused Pallas
+    program per (batch, q-block) when eligible (ops/encoder_layer.py —
+    the non-attention tail measured ~3 ms of the 5.3 ms tiny-b8 encoder
+    as separate XLA fusions); LN1 + the fused-QKV projection stay in XLA
+    (attention needs all positions' K/V first — a sequential barrier)."""
     enc = params["encoder"]
     dtype = jnp.dtype(cfg.compute_dtype)
     x = mel.astype(dtype)
@@ -202,10 +237,25 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
     x = jnp.transpose(x, (0, 2, 1))                     # (B, T, d)
     x = x + enc["pos_emb"].astype(dtype)
 
+    tail = _encoder_tail_mode(cfg, x.shape[0], x.shape[1])
+
     def block(h, lp):
         r = h
         y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
         q, k, v = qkv_fused(y, lp["attn"], cfg.n_heads)
+        if tail != "off":
+            from whisper_tpu.ops.encoder_layer import (
+                encoder_block_tail,
+                pack_tail_misc,
+                pad_tail_weights,
+            )
+            h = encoder_block_tail(
+                q, k, v, h,
+                pad_tail_weights(lp["attn"]["o"]["w"], cfg.n_heads, dtype),
+                lp["fc1"]["w"].astype(dtype), lp["fc2"]["w"].astype(dtype),
+                pack_tail_misc(lp), eps=cfg.ln_eps,
+                interpret=tail == "interpret")
+            return h, None
         a = merge_heads(multi_head_attention(q, k, v,
                                              backend=cfg.attn_backend))
         h = r + linear(a, lp["attn"]["o"])
@@ -279,15 +329,16 @@ def precompute_cross_kv(params: Params, cfg: WhisperConfig,
     (replaces the has_cross compute-once guard, reference layers.mojo:148-157).
 
     Returns {"k","v"} (L, B, H, n_audio_ctx, Dh) head-major — int8 +
-    per-vector scales when cfg.kv_cache_quant (the cross cache is the
-    dominant decode-loop read: every step touches all 1500 positions)."""
+    per-vector scales when cfg.kv_cache_quant or cfg.cross_kv_quant (the
+    cross cache is the dominant decode-loop read: every step touches all
+    1500 positions)."""
     def proj(lp):
         k = split_heads_hm(linear(enc_out, lp["cross_attn"]["k"]), cfg.n_heads)
         v = split_heads_hm(linear(enc_out, lp["cross_attn"]["v"]), cfg.n_heads)
         return k, v
 
     ks, vs = jax.vmap(proj)(params["decoder"]["layers"])
-    if cfg.kv_cache_quant:
+    if cfg.kv_cache_quant or cfg.cross_kv_quant:
         kq, ks_ = quantize_kv(ks)
         vq, vs_ = quantize_kv(vs)
         return {"k": kq, "k_s": ks_, "v": vq, "v_s": vs_}
@@ -390,11 +441,20 @@ def final_logits(params: Params, cfg: WhisperConfig, h: jax.Array
     dtype = jnp.dtype(cfg.compute_dtype)
     h = layer_norm(h, dec["ln"]["g"], dec["ln"]["b"], cfg.ln_eps)
     if dtype == jnp.float32:
-        return jnp.dot(h.astype(jnp.float32),
-                       dec["tok_emb"].T.astype(jnp.float32),
-                       precision=HIGHEST)
-    return jnp.dot(h, dec["tok_emb"].T.astype(dtype),
-                   preferred_element_type=jnp.float32)
+        logits = jnp.dot(h.astype(jnp.float32),
+                         dec["tok_emb"].T.astype(jnp.float32),
+                         precision=HIGHEST)
+    else:
+        logits = jnp.dot(h, dec["tok_emb"].T.astype(dtype),
+                         preferred_element_type=jnp.float32)
+    # Under tensor parallelism the embedding rows are zero-padded to a
+    # tp-divisible count (parallel/mesh.py shard_params) so the logit
+    # matmul genuinely splits over chips; the pad logits are exact zeros
+    # (h @ 0, tied embedding has no bias) — slice back to the true vocab
+    # so every consumer sees (B, T, vocab_size).
+    if logits.shape[-1] != cfg.vocab_size:
+        logits = jax.lax.slice_in_dim(logits, 0, cfg.vocab_size, axis=-1)
+    return logits
 
 
 def transpose_self_cache(kv_cache: dict[str, jax.Array]) -> dict[str, jax.Array]:
@@ -433,7 +493,8 @@ def decoder_step_t(params: Params, cfg: WhisperConfig,
       tokens1: (B, 1) int32.
       pos_offset: scalar int32 — absolute position (cache write index).
       cache_t: {"k","v"} (L, B, H, Dh, S), unquantized.
-      cross_kv: standard precompute_cross_kv output (unquantized).
+      cross_kv: standard precompute_cross_kv output; may be int8-quantized
+        (cfg.cross_kv_quant) — see att_cross.
     Returns:
       logits (B, 1, vocab) fp32, updated cache_t.
     """
@@ -479,8 +540,29 @@ def decoder_step_t(params: Params, cfg: WhisperConfig,
         return _att(q, k, v, "bthd,bhds->bhts", "bhts,bhds->bthd", key_mask)
 
     def att_cross(q, cross_l):
-        """Cross attention (all S_cross positions valid)."""
-        return _att(q, cross_l["k"], cross_l["v"],
+        """Cross attention (all S_cross positions valid). With an int8
+        cross cache (cfg.cross_kv_quant), the TPU path streams the int8
+        tiles straight through the Pallas decode kernel and dequantizes in
+        VMEM — the half-bandwidth read is the point (~74 MB of ~115 MB
+        per-step HBM at tiny b8 is cross K/V); elsewhere the cache is
+        dequantized into the reference formulation."""
+        if "k_s" in cross_l:
+            from whisper_tpu.ops.attention import default_backend
+            backend = cfg.attn_backend or default_backend()
+            if (backend in ("auto", "pallas")
+                    and jax.default_backend() == "tpu") \
+                    or backend == "pallas_interpret":
+                from whisper_tpu.ops.decode_attention import (
+                    decode_attention_q8_bh,
+                )
+                return decode_attention_q8_bh(
+                    q.astype(dtype), cross_l["k"], cross_l["k_s"],
+                    cross_l["v"], cross_l["v_s"], None,
+                    interpret=backend == "pallas_interpret").astype(dtype)
+            k = dequantize_kv(cross_l["k"], cross_l["k_s"], dtype)
+            v = dequantize_kv(cross_l["v"], cross_l["v_s"], dtype)
+            return _att(q, k, v, "bthd,bhsd->bhts", "bhts,bhsd->bthd", None)
+        return _att(q, cross_l["k"].astype(dtype), cross_l["v"].astype(dtype),
                     "bthd,bhsd->bhts", "bhts,bhsd->bthd", None)
 
     def block(h, xs):
@@ -500,9 +582,8 @@ def decoder_step_t(params: Params, cfg: WhisperConfig,
         r = h
         y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"], cfg.ln_eps)
         q = split_heads(linear(y, lp["cross_attn"]["q"]), cfg.n_heads)
-        h = r + linear(merge_heads(att_cross(
-            q, jax.tree.map(lambda a: a.astype(dtype), cross_l))),
-            lp["cross_attn"]["o"])
+        h = r + linear(merge_heads(att_cross(q, cross_l)),
+                       lp["cross_attn"]["o"])
         r = h
         y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], cfg.ln_eps)
         h = r + linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
@@ -527,12 +608,12 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
     Args:
       tokens1: (B, 1) int32 — each row's last token.
       pos: (B,) int32 — each row's absolute position (cache write index).
-      kv_cache/cross_kv: as decoder_forward (unquantized layout).
+      kv_cache/cross_kv: as decoder_forward; both the plain and the int8
+        (values + per-vector scales) layouts are supported — int8 halves
+        per-slot HBM, i.e. 2x the continuous-serving slots per byte.
     Returns:
       logits (B, 1, vocab) fp32, updated kv_cache.
     """
-    assert "k_s" not in kv_cache, \
-        "decoder_step_ragged uses the unquantized cache layout"
     dec = params["decoder"]
     dtype = jnp.dtype(cfg.compute_dtype)
     B = tokens1.shape[0]
@@ -542,31 +623,42 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
     h = h + dec["pos_emb"][pos][:, None].astype(dtype)
     kv_len = pos + 1                                     # (B,)
 
+    def scatter(cache_l: dict, name: str, new: jax.Array) -> dict:
+        """Per-row scatter: row b's new K/V land at position pos[b];
+        int8 caches get fresh per-vector scales for the new rows."""
+        if name + "_s" in cache_l:
+            qv, s = quantize_kv(new)                     # (B, H, 1, D/1)
+            return {**cache_l,
+                    name: cache_l[name].at[rows, :, pos, :].set(
+                        qv[:, :, 0, :]),
+                    name + "_s": cache_l[name + "_s"].at[rows, :, pos, :].set(
+                        s[:, :, 0, :])}
+        return {**cache_l,
+                name: cache_l[name].at[rows, :, pos, :].set(
+                    new[:, :, 0, :].astype(cache_l[name].dtype))}
+
     def block(h, xs):
         lp, cache_l, cross_l = xs
         r = h
         y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
         q, k_new, v_new = qkv_fused(y, lp["attn"], cfg.n_heads)
-        # per-row scatter: row b's new K/V land at position pos[b]
-        ck = cache_l["k"].at[rows, :, pos, :].set(
-            k_new[:, :, 0, :].astype(cache_l["k"].dtype))
-        cv = cache_l["v"].at[rows, :, pos, :].set(
-            v_new[:, :, 0, :].astype(cache_l["v"].dtype))
-        a = merge_heads(multi_head_attention(
-            q, ck.astype(dtype), cv.astype(dtype), kv_len,
-            backend=cfg.attn_backend))
+        cache_l = scatter(cache_l, "k", k_new)
+        cache_l = scatter(cache_l, "v", v_new)
+        a = merge_heads(_cache_attention(
+            q, cache_l, kv_len, causal=False, q_offset=0, cfg=cfg,
+            dtype=dtype))
         h = r + linear(a, lp["attn"]["o"])
         r = h
         y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"], cfg.ln_eps)
         q = split_heads(linear(y, lp["cross_attn"]["q"]), cfg.n_heads)
-        a = merge_heads(multi_head_attention(
-            q, cross_l["k"].astype(dtype), cross_l["v"].astype(dtype),
-            backend=cfg.attn_backend))
+        a = merge_heads(_cache_attention(
+            q, cross_l, None, causal=False, q_offset=0, cfg=cfg,
+            dtype=dtype))
         h = r + linear(a, lp["cross_attn"]["o"])
         r = h
         y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], cfg.ln_eps)
         h = r + linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
-        return h, {"k": ck, "v": cv}
+        return h, cache_l
 
     h, new_cache = jax.lax.scan(
         block, h, (dec["layers"], kv_cache, cross_kv),

@@ -1,0 +1,234 @@
+"""Fused encoder-block tail (Pallas/TPU): attention + output projection +
+residual + LayerNorm + MLP + residual in ONE kernel program per
+(batch, q-block).
+
+Why (VERDICT r2 weak #1 / next #1): the tiny-b8 encoder measured 5.3 ms of
+which only ~2.2 ms is flash attention — the rest is the projections/MLP/LN
+"tail" that XLA runs as separate fusions with HBM round trips between them
+(attention-out, post-o hidden state, and the 4x-wide fc1 intermediate each
+travel to HBM and back). This kernel keeps the whole tail VMEM-resident:
+the (bq, S) score tile, the per-head attention outputs, the o-projection,
+both residuals, LN2 and the (bq, ff) GeLU intermediate never touch HBM.
+Per program it runs ~2.5-8 GFLOP (vs ~0.3 for a flash-only program), so the
+sequential Pallas grid's per-program overhead is amortized ~10x better.
+
+The reference hand-specializes exactly these matmuls via MAX
+(reference whisper_tensor.mojo:74-146) and runs attention with materialized
+per-head scores (reference layers.mojo:273-342); this kernel is the
+TPU-shaped version of the same idea — fuse the block so the MXU never
+waits on HBM.
+
+Scope: the block's LN1 + fused-QKV projection stays in XLA (attention needs
+ALL positions' K/V before any q-block can run, so the projection is a
+sequential barrier; XLA runs it as one large matmul near roofline). The
+kernel consumes q/k/v + the residual input and emits the block output.
+
+Mosaic layout rules (same ground rules as ops/decoder_step.py, measured on
+the real v5e):
+  * head_dim 64 per-head slices are legal reads (block last dim == array
+    dim), but CONCATENATING heads back to d lanes is a lane-dim reshape —
+    unsupported. Per-head attention outputs are instead stored into a
+    (bq, H*128) scratch at 128-aligned lane slots, and the o-projection
+    weight rows are padded to match (zero pad rows; exact).
+  * v5e VMEM is ~128 MiB; at bq=1536 the whole program (scores 9.4 MB +
+    GeLU intermediate + weights) sits ~35 MB — vmem_limit_bytes raised.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from whisper_tpu.ops.decoder_step import _gelu_exact, _ln
+
+_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _tail_kernel(q_ref, k_ref, v_ref, h_ref, wo, fc1, fc2, misc,
+                 o_ref, af_s, *,
+                 H: int, D: int, d: int, ff: int, S: int, s_pad: int,
+                 eps: float, dtype, prec, interpret: bool):
+    """One (batch, q-block) program.
+
+    q_ref: (1, H, bq, D); k_ref/v_ref: (1, H, s_pad, D); h_ref: (1, bq, d)
+    residual input; wo: (H*128, d) pad-row o-projection; fc1: (d, ff);
+    fc2: (ff, d); misc: (1, P) fp32 = [o_b(d) | fc1_b(ff) | fc2_b(d) |
+    ln2_g(d) | ln2_b(d)]; o_ref: (1, bq, d); af_s: (bq, H*128) fp32 scratch.
+    """
+    f32 = jnp.float32
+    Dp = _LANE
+    scale = D ** -0.5
+    m = misc[0]
+    o_b, fc1_b = m[:d], m[d:d + ff]
+    fc2_b = m[d + ff:2 * d + ff]
+    ln_g, ln_b = m[2 * d + ff:3 * d + ff], m[3 * d + ff:4 * d + ff]
+
+    def rnd(x32):
+        """Round fp32 through the compute dtype — replicates the XLA block's
+        bf16 storage points (attention out, projection outputs, residuals)
+        so the fused path tracks the reference block tightly."""
+        return x32.astype(dtype).astype(f32)
+
+    def dot(x, w):
+        return jax.lax.dot_general(
+            x.astype(dtype), w, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)
+
+    # ---- attention, one head at a time (scores stay in VMEM) ----
+    # zero the whole scratch first: per-head stores below touch only the
+    # 128-aligned live lanes (odd-64-offset lane stores are Mosaic-illegal),
+    # and the zero pad lanes meet wo's zero pad rows (exact)
+    af_s[...] = jnp.zeros(af_s.shape, f32)
+    kmask = jax.lax.broadcasted_iota(jnp.int32, (1, s_pad), 1) < S
+    for hi in range(H):
+        q = q_ref[0, hi].astype(f32) * scale              # (bq, D)
+        kh = k_ref[0, hi]                                 # (s_pad, D)
+        s = jax.lax.dot_general(
+            q, kh.astype(f32), (((1,), (1,)), ((), ())),
+            preferred_element_type=f32, precision=prec)   # (bq, s_pad)
+        s = jnp.where(kmask, s, _MASK_VALUE)
+        mx = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - mx)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, hi],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=f32, precision=prec)   # (bq, D)
+        # 128-aligned lane slot (layout offset 0 — Mosaic-legal store)
+        af_s[:, hi * Dp: hi * Dp + D] = rnd(pv / jnp.maximum(l, 1e-30))
+
+    # ---- o-projection + residual ----
+    h = h_ref[0].astype(f32)
+    h2 = rnd(h + rnd(rnd(dot(af_s[...], wo[...])) + rnd(o_b[None, :])))
+
+    # ---- LN2 + MLP + residual ----
+    y = rnd(_ln(h2, ln_g, ln_b, eps))
+    t1 = rnd(rnd(dot(y, fc1[...])) + rnd(fc1_b[None, :]))
+    t1 = rnd(_gelu_exact(t1, interpret))
+    t2 = rnd(rnd(dot(t1, fc2[...])) + rnd(fc2_b[None, :]))
+    o_ref[0] = (h2 + t2).astype(o_ref.dtype)
+
+
+def _env_block(name: str, default: int) -> int:
+    """A/B knob, read at TRACE time (set before the first call)."""
+    return int(os.environ.get(name, default))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "block_q", "interpret"))
+def encoder_block_tail(q: jax.Array, k: jax.Array, v: jax.Array,
+                       h_in: jax.Array,
+                       wo_pad: jax.Array, fc1_w: jax.Array, fc2_w: jax.Array,
+                       misc: jax.Array, *,
+                       eps: float = 1e-5,
+                       block_q: int | None = None,
+                       interpret: bool = False) -> jax.Array:
+    """Fused attention+o-proj+LN2+MLP block tail (see module docstring).
+
+    Args:
+      q: (B, T, H, D) — straight out of qkv_fused.
+      k, v: (B, H, S, D) head-major (here S == T).
+      h_in: (B, T, d) — the block's residual input.
+      wo_pad: (H*128, d) o-projection with each head's input rows padded to
+        a 128-lane slot, zero pad rows (pad_tail_weights).
+      fc1_w: (d, ff); fc2_w: (ff, d) — compute dtype.
+      misc: (1, 4*d + ff) fp32 = [o_b | fc1_b | fc2_b | ln2_g | ln2_b].
+    Returns:
+      (B, T, d) block output in h_in.dtype.
+    """
+    B, T, H, D = q.shape
+    S = k.shape[2]
+    d = h_in.shape[-1]
+    ff = fc1_w.shape[-1]
+    dtype = h_in.dtype
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    if block_q is None:
+        block_q = _env_block("WHISPER_TPU_ENC_BQ", 768)
+
+    qt = jnp.transpose(q, (0, 2, 1, 3))                   # (B, H, T, D)
+    k = k.astype(dtype)
+    v = v.astype(dtype)
+
+    bq = min(block_q, _round_up(T, 16))
+    t_pad = _round_up(T, bq)
+    s_pad = _round_up(S, _LANE)
+    if t_pad != T:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, t_pad - T), (0, 0)))
+        h_in = jnp.pad(h_in, ((0, 0), (0, t_pad - T), (0, 0)))
+    if s_pad != S:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
+
+    kern = functools.partial(
+        _tail_kernel, H=H, D=D, d=d, ff=ff, S=S, s_pad=s_pad,
+        eps=eps, dtype=dtype, prec=prec, interpret=interpret)
+
+    grid = (B, t_pad // bq)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, H, bq, D), lambda b, t: (b, 0, t, 0)),   # q
+            pl.BlockSpec((1, H, s_pad, D), lambda b, t: (b, 0, 0, 0)),  # k
+            pl.BlockSpec((1, H, s_pad, D), lambda b, t: (b, 0, 0, 0)),  # v
+            pl.BlockSpec((1, bq, d), lambda b, t: (b, t, 0)),         # h_in
+            pl.BlockSpec((H * _LANE, d), lambda b, t: (0, 0)),        # wo
+            pl.BlockSpec((d, ff), lambda b, t: (0, 0)),               # fc1
+            pl.BlockSpec((ff, d), lambda b, t: (0, 0)),               # fc2
+            pl.BlockSpec((1, misc.shape[-1]), lambda b, t: (0, 0)),   # misc
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, t: (b, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, t_pad, d), dtype),
+        scratch_shapes=[pltpu.VMEM((bq, H * _LANE), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=(4 * B * H * T * S * D            # attention
+                   + 2 * B * T * (H * D) * d        # o-proj
+                   + 4 * B * T * d * ff),           # fc1 + fc2
+            bytes_accessed=(B * H * (t_pad + 2 * s_pad) * D
+                            + 2 * B * t_pad * d) * dtype.itemsize,
+            transcendentals=B * H * T * S + B * T * ff,
+        ),
+        interpret=interpret,
+    )(qt, k, v, h_in, wo_pad, fc1_w, fc2_w, misc)
+
+    return out[:, :T, :]
+
+
+# ---------------------------------------------------------------------------
+# operand preparation (per layer, inside the encoder scan body)
+# ---------------------------------------------------------------------------
+
+def pad_tail_weights(o_w: jax.Array, n_heads: int, dtype) -> jax.Array:
+    """(H*D, d) o-projection -> (H*128, d) with each head's D input rows at
+    a 128-aligned slot and ZERO pad rows (the kernel's af scratch keeps pad
+    lanes zero, so padding is exact)."""
+    din, d = o_w.shape
+    D = din // n_heads
+    Dp = _LANE
+    if D == Dp:
+        return o_w.astype(dtype)
+    w = o_w.reshape(n_heads, D, d)
+    w = jnp.pad(w, ((0, 0), (0, Dp - D), (0, 0)))
+    return w.reshape(n_heads * Dp, d).astype(dtype)
+
+
+def pack_tail_misc(lp: dict) -> jax.Array:
+    """(1, 4*d + ff) fp32 parameter pack for one layer:
+    [o_b | fc1_b | fc2_b | mlp_ln_g | mlp_ln_b]."""
+    parts = [lp["attn"]["o"]["b"], lp["fc1"]["b"], lp["fc2"]["b"],
+             lp["mlp_ln"]["g"], lp["mlp_ln"]["b"]]
+    return jnp.concatenate(
+        [p.astype(jnp.float32) for p in parts])[None, :]

@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -91,10 +92,12 @@ def param_pspecs(params: Params, pipeline: bool = False) -> Params:
 
 def sanitize_pspec(shape, spec: P, mesh: Mesh) -> P:
     """Drop sharded axes whose dimension isn't divisible by the mesh axis
-    size (e.g. the 51,865-token vocab embedding under tp=4 — 51865 is
-    5*11*23*41, indivisible by any practical tp — falls back to
-    replicated). Correctness first; padding-based vocab sharding can
-    reintroduce the split later."""
+    size — the correctness fallback for any leaf whose shape resists the
+    rule table. The one leaf where this used to bite for real models — the
+    vocab embedding (51,865 = 5*11*23*41, indivisible by any practical
+    tp) — is now PADDED to a divisible row count by shard_params before
+    placement, so the logit matmul genuinely splits; this fallback remains
+    for exotic shapes."""
     fixed = []
     for dim, ax in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
         if ax is None:
@@ -106,18 +109,54 @@ def sanitize_pspec(shape, spec: P, mesh: Mesh) -> P:
     return P(*fixed)
 
 
+# Per-shard vocab rows are rounded up to a lane-width multiple so each tp
+# shard's logit matmul output lands on clean 128-lane tiles.
+_VOCAB_LANE = 128
+
+
+def padded_vocab_rows(vocab: int, tp: int) -> int:
+    """Smallest row count >= vocab that splits into tp equal lane-aligned
+    shards (e.g. 51,865 @ tp=4 -> 52,224 = 4 x 102 x 128)."""
+    per = -(-vocab // (tp * _VOCAB_LANE)) * _VOCAB_LANE
+    return per * tp
+
+
 def shard_params(params: Params, mesh: Mesh,
                  pipeline: Optional[bool] = None) -> Params:
     """Place a params pytree onto the mesh per param_pspecs (axes that don't
     divide are replicated, see sanitize_pspec). pipeline defaults to True
-    exactly when the mesh has a pp axis of size > 1."""
+    exactly when the mesh has a pp axis of size > 1.
+
+    Vocab padding: under tp > 1 the token embedding's row count rarely
+    divides tp (51,865 = 5*11*23*41), which would silently replicate the
+    single largest decode matmul (the 51k-logit projection). shard_params
+    therefore zero-pads tok_emb rows to padded_vocab_rows() before
+    placement, making P("tp", None) real. The pad rows are mathematically
+    inert: the tied-logit matmul gives them exact-zero logits (h @ 0, no
+    bias) and final_logits slices the output back to cfg.vocab_size, so
+    no downstream consumer ever sees them; embedding lookups never index
+    past the true vocab. Note the SHARDED tree's tok_emb is therefore
+    wider than the checkpoint's — export from the original tree."""
     if pipeline is None:
         pipeline = "pp" in mesh.axis_names and mesh.shape["pp"] > 1
     specs = param_pspecs(params, pipeline=pipeline)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(
-            x, NamedSharding(mesh, sanitize_pspec(np.shape(x), s, mesh))),
-        params, specs)
+    tp = int(mesh.shape["tp"]) if "tp" in mesh.axis_names else 1
+
+    def place(path: str, x, s: P):
+        shape = np.shape(x)
+        if (tp > 1 and "tok_emb" in path and len(shape) == 2
+                and shape[0] % tp != 0):
+            rows = padded_vocab_rows(shape[0], tp)
+            x = jnp.pad(jnp.asarray(x), ((0, rows - shape[0]), (0, 0)))
+            shape = (rows, shape[1])
+        return jax.device_put(
+            x, NamedSharding(mesh, sanitize_pspec(shape, s, mesh)))
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    sflat = jax.tree_util.tree_leaves(specs)
+    placed = [place(jax.tree_util.keystr(kp), x, s)
+              for (kp, x), s in zip(flat, sflat)]
+    return jax.tree_util.tree_unflatten(treedef, placed)
 
 
 def activation_shardings(mesh: Mesh) -> dict[str, NamedSharding]:

@@ -227,11 +227,17 @@ def decoder_logits_pp(params: Params, cfg: WhisperConfig, tokens: jax.Array,
                            dec["layers"], mesh, microbatches=microbatches)
     h = layer_norm(state["h"], dec["ln"]["g"], dec["ln"]["b"], cfg.ln_eps)
     if dtype == jnp.float32:
-        return jnp.dot(h.astype(jnp.float32),
-                       dec["tok_emb"].T.astype(jnp.float32),
-                       precision=HIGHEST)
-    return jnp.dot(h, dec["tok_emb"].T.astype(dtype),
-                   preferred_element_type=jnp.float32)
+        logits = jnp.dot(h.astype(jnp.float32),
+                         dec["tok_emb"].T.astype(jnp.float32),
+                         precision=HIGHEST)
+    else:
+        logits = jnp.dot(h, dec["tok_emb"].T.astype(dtype),
+                         preferred_element_type=jnp.float32)
+    # tp-padded vocab rows (mesh.py shard_params) -> slice the exact-zero
+    # pad logits back off, as in models.whisper.final_logits
+    if logits.shape[-1] != cfg.vocab_size:
+        logits = jax.lax.slice_in_dim(logits, 0, cfg.vocab_size, axis=-1)
+    return logits
 
 
 # ---------------------------------------------------------------------------

@@ -130,6 +130,19 @@ def make_handler(transcriber, cfg, stats: _Stats):
                     stats.failed += 1
                 self._json(400, {"error": f"bad request: {e}"})
                 return
+            stream = (q.get("stream", "") in ("1", "true")
+                      or "text/event-stream" in
+                      (self.headers.get("Accept") or ""))
+            if stream:
+                if not hasattr(transcriber, "transcribe_stream"):
+                    with stats.lock:
+                        stats.failed += 1
+                    self._json(501, {"error": "streaming requires the "
+                                     "continuous engine (--engine "
+                                     "continuous)"})
+                    return
+                self._sse(audio, language, task)
+                return
             try:
                 res = transcriber.transcribe(audio, language, task)
                 with stats.lock:
@@ -141,6 +154,37 @@ def make_handler(transcriber, cfg, stats: _Stats):
                 with stats.lock:
                     stats.failed += 1
                 self._json(500, {"error": str(e)})
+
+        def _sse(self, audio, language, task):
+            """Server-sent-events response: one `data:` event per generated
+            token as the continuous engine commits it, then a final event
+            with the full result. Connection: close delimits the stream
+            (no Content-Length on purpose)."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+
+            def emit(obj: dict):
+                self.wfile.write(
+                    b"data: " + json.dumps(obj).encode() + b"\n\n")
+                self.wfile.flush()
+
+            try:
+                for ev in transcriber.transcribe_stream(audio, language,
+                                                        task):
+                    emit(ev)
+                with stats.lock:
+                    stats.completed += 1
+            except Exception as e:
+                with stats.lock:
+                    stats.failed += 1
+                try:
+                    emit({"error": str(e)})
+                except Exception:
+                    pass
+            self.close_connection = True
 
     return Handler
 
@@ -194,6 +238,59 @@ class ContinuousEngine:
         self._wake.put(None)
         try:
             return fut.result(timeout=self.REQUEST_TIMEOUT_S)
+        finally:
+            with self._lock:
+                if fut in self._pending:
+                    self._pending.remove(fut)
+
+    def transcribe_stream(self, audio: np.ndarray, language: str = "en",
+                          task: str = "transcribe"):
+        """Generator of SSE-ready event dicts: {"token", "text_delta"} per
+        committed token, then {"done": True, "text", "tokens"}. Tokens are
+        streamed as the slot engine commits them — the HTTP thread consumes
+        a queue fed by the pump thread's on_token callback."""
+        import queue as _q
+        import concurrent.futures
+        if self._closed:
+            raise RuntimeError("engine is closed")
+        from whisper_tpu.tokenizer import build_prompt
+        build_prompt(self._b.cfg, language if language != "auto" else "en",
+                     task)
+        events: "_q.Queue" = _q.Queue()
+        fut: "concurrent.futures.Future" = concurrent.futures.Future()
+
+        def on_token(rid, tid):
+            events.put(("token", tid))
+
+        def done(rid, ids):
+            if not fut.done():
+                fut.set_result(ids)
+
+        with self._lock:
+            self._b.submit(audio, language, task, callback=done,
+                           on_token=on_token)
+            self._pending.append(fut)      # pump faults fail this future
+        self._wake.put(None)
+        tok = self._b.tokenizer
+        emitted: list = []
+        text_so_far = ""
+        deadline = time.monotonic() + self.REQUEST_TIMEOUT_S
+        try:
+            while True:
+                try:
+                    kind, tid = events.get(timeout=0.1)
+                except _q.Empty:
+                    if fut.done():
+                        break
+                    if time.monotonic() > deadline:
+                        raise TimeoutError("request timed out")
+                    continue
+                emitted.append(tid)
+                text = tok.decode(emitted)
+                delta, text_so_far = text[len(text_so_far):], text
+                yield {"token": int(tid), "text_delta": delta}
+            ids = fut.result(timeout=0)    # re-raises pump faults
+            yield {"done": True, "text": tok.decode(ids), "tokens": ids}
         finally:
             with self._lock:
                 if fut in self._pending:
