@@ -1,0 +1,114 @@
+"""Seeded torch parity beyond tiny: base and small configs.
+
+VERDICT r2 #8: the family table (config.py:140-158) was de-risked only at
+tiny shapes; a converter or model bug specific to other dims (head counts,
+layer counts, d_ff) would pass every tiny-shape test. These tests build
+seeded random-init HF models at the REAL base/small dimensions and check
+activation + token parity, mirroring tests/test_model_parity.py (the
+reference supports exactly one size, /root/reference/whisper.mojo:29-31).
+
+Runtime note (1 host CPU): small's 12-layer encoder at T=1500 is the
+expensive part; small is gated to encoder+prefill parity while base also
+runs the e2e greedy-token gate.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from whisper_tpu.config import get_config  # noqa: E402
+from whisper_tpu.decode import transcribe_tokens  # noqa: E402
+from whisper_tpu.models.whisper import (  # noqa: E402
+    decoder_forward,
+    encoder_forward,
+    init_kv_cache,
+    precompute_cross_kv,
+)
+from whisper_tpu.tokenizer import build_prompt  # noqa: E402
+from whisper_tpu.weights import from_hf_state_dict, to_device  # noqa: E402
+
+
+def _seeded_pair(name: str):
+    """Seeded HF model + converted params at a real family config."""
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    cfg = get_config(name)
+    torch.manual_seed(0)
+    hf = HFConfig(vocab_size=cfg.vocab_size, num_mel_bins=cfg.n_mels,
+                  d_model=cfg.d_model,
+                  encoder_layers=cfg.n_audio_layers,
+                  encoder_attention_heads=cfg.n_heads,
+                  decoder_layers=cfg.n_text_layers,
+                  decoder_attention_heads=cfg.n_heads,
+                  encoder_ffn_dim=cfg.d_ff, decoder_ffn_dim=cfg.d_ff,
+                  max_source_positions=cfg.n_audio_ctx,
+                  max_target_positions=cfg.n_text_ctx,
+                  activation_function="gelu")
+    model = WhisperForConditionalGeneration(hf).eval()
+    params = to_device(from_hf_state_dict(model.state_dict(), cfg))
+    return model, cfg, params
+
+
+@pytest.fixture(scope="module", params=["base", "small"])
+def family(request):
+    model, cfg, params = _seeded_pair(request.param)
+    rng = np.random.RandomState(0)
+    mel = (rng.randn(1, cfg.n_mels, cfg.n_frames) * 0.5).astype(np.float32)
+    return request.param, model, cfg, params, mel
+
+
+def test_encoder_activation_parity(family):
+    name, model, cfg, params, mel = family
+    with torch.no_grad():
+        ref = model.model.encoder(
+            torch.from_numpy(mel)).last_hidden_state.numpy()
+    mine = np.asarray(encoder_forward(params, cfg, jnp.asarray(mel)))
+    # tolerance grows with depth (12 layers at small vs tiny's 4)
+    assert np.abs(ref - mine).max() < 3e-4 * max(1, cfg.n_audio_layers // 4)
+
+
+def test_prefill_logits_parity(family):
+    name, model, cfg, params, mel = family
+    prompt = build_prompt(cfg)
+    with torch.no_grad():
+        ref = model(input_features=torch.from_numpy(mel),
+                    decoder_input_ids=torch.tensor([prompt])).logits.numpy()
+    enc = encoder_forward(params, cfg, jnp.asarray(mel))
+    cross = precompute_cross_kv(params, cfg, enc)
+    cache = init_kv_cache(cfg, 1)
+    logits, _ = decoder_forward(params, cfg,
+                                jnp.asarray([prompt], jnp.int32),
+                                jnp.int32(0), cache, cross)
+    mine = np.asarray(logits)
+    assert np.abs(ref - mine).max() < 5e-3      # |logits| ~ O(10)
+    assert (ref.argmax(-1) == mine.argmax(-1)).all()
+
+
+def test_greedy_tokens_match_torch_base():
+    """e2e greedy-token equality at base dims (small is covered by the
+    prefill argmax gate above; its decode-loop compile is too slow for the
+    1-CPU suite)."""
+    model, cfg, params = _seeded_pair("base")
+    rng = np.random.RandomState(1)
+    mel = (rng.randn(1, cfg.n_mels, cfg.n_frames) * 0.5).astype(np.float32)
+    max_new = 8
+    prompt = build_prompt(cfg)
+    ids = torch.tensor([prompt])
+    with torch.no_grad():
+        for _ in range(1 + max_new):
+            out = model(input_features=torch.from_numpy(mel),
+                        decoder_input_ids=ids)
+            nxt = out.logits[:, -1, :].argmax(-1, keepdim=True)
+            ids = torch.cat([ids, nxt], dim=1)
+            if int(nxt) == cfg.eot_token:
+                break
+    ref_tokens = ids[0].tolist()
+
+    res = transcribe_tokens(params, cfg, jnp.asarray(mel),
+                            jnp.asarray([prompt], jnp.int32), max_new=max_new)
+    mine = np.asarray(res.tokens)[0][:int(res.lengths[0])].tolist()
+    assert mine[:len(ref_tokens)] == ref_tokens
