@@ -67,9 +67,9 @@ def main(argv=None) -> int:
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (fused dequant kernel on TPU)")
     p.add_argument("--cross-kv-quant", action="store_true",
-                   help="int8 CROSS cache only (self stays bf16): halves "
-                        "the dominant per-step decode read; composes with "
-                        "the split decode loop")
+                   help="int8 CROSS cache only (self stays bf16): 2x "
+                        "context per HBM byte; costs ~3x RTFx at tiny "
+                        "(capacity feature — DESIGN.md §16)")
     p.add_argument("--seed", type=int, default=0, help="sampling seed")
     p.add_argument("--vad-db", type=float, default=None, metavar="DB",
                    help="energy VAD gate: skip 30 s windows whose frames "

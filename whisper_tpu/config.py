@@ -51,7 +51,11 @@ class WhisperConfig:
     # step touches all 1500 audio positions), and unlike kv_cache_quant
     # this composes with the split decode loop — cross-attention reads
     # stream int8 tiles through the Pallas decode kernel and dequantize in
-    # VMEM (ops/decode_attention.decode_attention_q8_bh).
+    # VMEM (ops/decode_attention.decode_attention_q8_bh). CAPACITY feature,
+    # not a latency feature: measured e2e at tiny it LOSES ~3x (b8
+    # 3480→1150 RTFx, b32 6279→948 — the per-(batch,head) kernel grid is
+    # launch-overhead-bound at Whisper sizes; DESIGN.md §16). Use for 2x
+    # context/batch per HBM byte, never auto-engaged.
     cross_kv_quant: bool = False
     # Fused decoder-step megakernel (ops/decoder_step.py): one Pallas
     # program per greedy decode step instead of ~60 XLA fusions. None =
