@@ -116,6 +116,32 @@ class TestGreedyEndToEnd:
                                    rtol=1e-4, atol=1e-4)
 
 
+class TestBlockedWeights:
+    """Multi-block weight streaming (n_qkv > 1, n_mlp > 1) — the path that
+    lets the kernel compile at large-v3-turbo dims (VERDICT r2 #5), forced
+    via the env block overrides on the nano config. Dh=32 -> Dhp=128,
+    3*H*Dhp=768: blkq=384 gives n_qkv=2; ff=256: blkm=128 gives n_mlp=2."""
+
+    def test_blocked_matches_single_block(self, setup, monkeypatch):
+        cfg, params, enc, cross, prompt, cache, first = setup
+        P = prompt.shape[1]
+        last = first[:, None]
+        ref_logits, ref_cache = _xla_step(params, cfg, cross, last,
+                                          jnp.int32(P), cache)
+        monkeypatch.setenv("WHISPER_TPU_FUSED_BLKQ", "384")
+        monkeypatch.setenv("WHISPER_TPU_FUSED_BLKM", "128")
+        step, ho_cache = _make_fused_step(params, cfg.replace(fused_step=True),
+                                          cache, cross)
+        got_logits, got_cache = step(last, jnp.int32(P), ho_cache)
+        np.testing.assert_allclose(np.asarray(got_logits),
+                                   np.asarray(ref_logits),
+                                   rtol=1e-4, atol=1e-4)
+        back = from_head_outer(got_cache["k"], batch=last.shape[0])
+        np.testing.assert_allclose(np.asarray(back),
+                                   np.asarray(ref_cache["k"]),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_head_outer_round_trip(small_cfg):
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 2, 5, 4))
     back = from_head_outer(to_head_outer(x), batch=3)

@@ -82,7 +82,7 @@ def _make_fused_step(params, cfg: WhisperConfig, cache, cross_kv):
     wqkv, wcq, wo, wco = split_weights(layers, cfg.n_heads, dtype)
     fc1_w = layers["fc1"]["w"].astype(dtype)
     fc2_w = layers["fc2"]["w"].astype(dtype)
-    miscp, miscd = pack_misc(layers, cfg.n_heads)
+    qkvb, fc1b, miscp, miscd = pack_misc(layers, cfg.n_heads)
     cache = {"k": to_head_outer(cache["k"]), "v": to_head_outer(cache["v"])}
     cross_k = to_head_outer(cross_kv["k"])
     cross_v = to_head_outer(cross_kv["v"])
@@ -90,15 +90,23 @@ def _make_fused_step(params, cfg: WhisperConfig, cache, cross_kv):
                  or cfg.attn_backend == "pallas_interpret")
     import os
     block_cross = int(os.environ.get("WHISPER_TPU_FUSED_BLOCK_CROSS", "0"))
+    # weight-block knobs read HERE (eager, once per transcription) so env
+    # changes take effect — fused_decoder_step is jitted and only sees them
+    # as static args (mid-process env flips would otherwise hit its cache)
+    block_qkv = int(os.environ.get("WHISPER_TPU_FUSED_BLKQ", "0"))
+    block_mlp = int(os.environ.get("WHISPER_TPU_FUSED_BLKM", "0"))
+    w_budget = int(os.environ.get("WHISPER_TPU_FUSED_WBUDGET",
+                                  str(8 * 1024 * 1024)))
 
     def step(last, pos, cache):
         h0 = (dec["tok_emb"][last[:, 0]].astype(dtype)
               + dec["pos_emb"][pos][None, :].astype(dtype))
         h_out, k_new, v_new = fused_decoder_step(
-            h0, wqkv, wcq, wo, wco, fc1_w, fc2_w, miscp, miscd,
+            h0, wqkv, wcq, wo, wco, fc1_w, fc2_w, qkvb, fc1b, miscp, miscd,
             cache["k"], cache["v"], cross_k, cross_v, pos + 1,
             n_layers=cfg.n_text_layers, n_heads=cfg.n_heads,
-            eps=cfg.ln_eps, interpret=interpret, block_cross=block_cross)
+            eps=cfg.ln_eps, interpret=interpret, block_cross=block_cross,
+            block_qkv=block_qkv, block_mlp=block_mlp, w_budget=w_budget)
         cache = {
             "k": jax.lax.dynamic_update_slice(
                 cache["k"], k_new[:, :, None, :], (0, 0, pos, 0)),
