@@ -48,6 +48,43 @@ KV_QUANT = os.environ.get("WHISPER_BENCH_KVQUANT", "0") == "1"
 CROSS_QUANT = os.environ.get("WHISPER_BENCH_CROSSQUANT", "0") == "1"
 
 
+def make_chained_runner(cfg, params, prompt, gen_tokens: int, G: int,
+                        logit_bias=None):
+    """Build the chained-dispatch runner: ONE (prefill | loop) program pair
+    that processes G micro-batches per execution via `lax.map`, amortizing
+    the axon tunnel's ~27 ms/program fixed cost over G batches
+    (DESIGN.md §18-19). The loop program still contains no encoder, so the
+    §13 own-program compilation win is preserved.
+
+    Returns run(audio_g: (G, B, n_samples)) -> DecodeResult stacked as
+    (G, B, prompt_len + gen_tokens); per-slot results are token-identical
+    to the eager split path (tests/test_chained_dispatch.py)."""
+    from whisper_tpu.audio import log_mel_spectrogram
+    from whisper_tpu.decode import _greedy_loop, _greedy_prefill
+    from whisper_tpu.models.whisper import encoder_forward
+
+    total = prompt.shape[1] + gen_tokens
+
+    def stage1_one(a):
+        mel = log_mel_spectrogram(a, cfg)
+        enc = encoder_forward(params, cfg, mel)
+        return _greedy_prefill(params, cfg, enc, prompt, total)
+
+    def loop_one(pre):
+        cross, cache, tokens, logits = pre
+        return _greedy_loop(params, cfg, cross, cache, tokens, logits,
+                            prompt, logit_bias, jax.random.PRNGKey(0),
+                            opts=None, max_new=gen_tokens - 1)
+
+    stage1_g = jax.jit(lambda ag: jax.lax.map(stage1_one, ag))
+    loop_g = jax.jit(lambda pre: jax.lax.map(loop_one, pre))
+
+    def run(audio_g):
+        return loop_g(stage1_g(audio_g))
+
+    return run
+
+
 def main() -> None:
     from whisper_tpu.audio import log_mel_spectrogram
     from whisper_tpu.config import get_config
@@ -132,7 +169,23 @@ def main() -> None:
     # the steady number measures the chip. WHISPER_BENCH_PIPELINE=0 restores
     # the sync p50 as the headline value.
     K = int(os.environ.get("WHISPER_BENCH_PIPELINE", "8"))
-    if K > 1:
+    # Chained dispatch (DESIGN.md §19): G micro-batches per program pair via
+    # lax.map — divides the tunnel's per-program fixed cost by G on top of
+    # the async pipelining. WHISPER_BENCH_CHAIN=0 disables.
+    G = int(os.environ.get("WHISPER_BENCH_CHAIN", "0"))
+    if G > 1:
+        chained = make_chained_runner(cfg, params, prompt, GEN_TOKENS, G,
+                                      logit_bias=bias)
+        audio_g = jnp.asarray(np.broadcast_to(
+            audio, (G,) + audio.shape).copy())
+        chained(audio_g).tokens.block_until_ready()    # warmup/compile
+        k_outer = max(K // G, 2)
+        t0 = time.perf_counter()
+        results = [chained(audio_g) for _ in range(k_outer)]
+        for r in results:
+            r.tokens.block_until_ready()
+        per_batch = (time.perf_counter() - t0) / (k_outer * G)
+    elif K > 1:
         t0 = time.perf_counter()
         results = [run(params, audio_dev, prompt) for _ in range(K)]
         for r in results:
@@ -151,7 +204,8 @@ def main() -> None:
         "value": round(rtfx, 2),
         "unit": "audio_s_per_wall_s",
         "vs_baseline": round(rtfx / BASELINE_RTFX, 2),
-        "mode": f"steady{K}" if K > 1 else "sync",
+        "mode": (f"chain{G}" if G > 1 else
+                 f"steady{K}" if K > 1 else "sync"),
         "p50_e2e_s": round(p50, 4),
         "latency_rtfx": round(latency_rtfx, 2),
         "per_batch_s": round(per_batch, 4),
