@@ -50,17 +50,24 @@ CROSS_QUANT = os.environ.get("WHISPER_BENCH_CROSSQUANT", "0") == "1"
 
 def make_chained_runner(cfg, params, prompt, gen_tokens: int, G: int,
                         logit_bias=None):
-    """Build the chained-dispatch runner: ONE (prefill | loop) program pair
-    that processes G micro-batches per execution via `lax.map`, amortizing
-    the axon tunnel's ~27 ms/program fixed cost over G batches
-    (DESIGN.md §18-19). The loop program still contains no encoder, so the
-    §13 own-program compilation win is preserved.
+    """Build the stage1-chained dispatch runner: ONE program computes G
+    micro-batches' [mel + encoder + prefill] (G unrolled copies returning G
+    separate output pytrees — no device-side slicing, which would cost a
+    dispatch each), then every decode loop dispatches as its OWN program —
+    preserving the §13 own-program compilation win. Programs per batch
+    drop from 2 to 1 + 1/G, amortizing the axon tunnel's ~27 ms/program
+    fixed cost on the stage1 side (DESIGN.md §19).
 
-    Returns run(audio_g: (G, B, n_samples)) -> DecodeResult stacked as
-    (G, B, prompt_len + gen_tokens); per-slot results are token-identical
-    to the eager split path (tests/test_chained_dispatch.py)."""
+    Measured v5e tiny bf16 b32 (benchmarks/chained_dispatch.py): chaining
+    BOTH stages via lax.map is a definitive negative (G=4/8: 176 ms/batch
+    vs 138.6 unchained — the mapped loop loses its own-program
+    compilation); stage1-only chaining wins: G=8 123.3 ms/batch steady.
+
+    Returns run(audio_g: (G, B, n_samples)) -> list of G DecodeResults;
+    per-slot results are token-identical to the eager split path
+    (tests/test_chained_dispatch.py)."""
     from whisper_tpu.audio import log_mel_spectrogram
-    from whisper_tpu.decode import _greedy_loop, _greedy_prefill
+    from whisper_tpu.decode import _greedy_prefill, _jit_greedy_loop
     from whisper_tpu.models.whisper import encoder_forward
 
     total = prompt.shape[1] + gen_tokens
@@ -70,17 +77,17 @@ def make_chained_runner(cfg, params, prompt, gen_tokens: int, G: int,
         enc = encoder_forward(params, cfg, mel)
         return _greedy_prefill(params, cfg, enc, prompt, total)
 
-    def loop_one(pre):
-        cross, cache, tokens, logits = pre
-        return _greedy_loop(params, cfg, cross, cache, tokens, logits,
-                            prompt, logit_bias, jax.random.PRNGKey(0),
-                            opts=None, max_new=gen_tokens - 1)
-
-    stage1_g = jax.jit(lambda ag: jax.lax.map(stage1_one, ag))
-    loop_g = jax.jit(lambda pre: jax.lax.map(loop_one, pre))
+    stage1_g = jax.jit(lambda ag: tuple(stage1_one(ag[i]) for i in range(G)))
 
     def run(audio_g):
-        return loop_g(stage1_g(audio_g))
+        # _jit_greedy_loop is the same jitted program the eager split path
+        # uses — one compile serves both drive modes
+        return [
+            _jit_greedy_loop(params, cfg, cross, cache, tokens, logits,
+                             prompt, logit_bias, jax.random.PRNGKey(0),
+                             opts=None, max_new=gen_tokens - 1)
+            for cross, cache, tokens, logits in stage1_g(audio_g)
+        ]
 
     return run
 
@@ -169,21 +176,24 @@ def main() -> None:
     # the steady number measures the chip. WHISPER_BENCH_PIPELINE=0 restores
     # the sync p50 as the headline value.
     K = int(os.environ.get("WHISPER_BENCH_PIPELINE", "8"))
-    # Chained dispatch (DESIGN.md §19): G micro-batches per program pair via
-    # lax.map — divides the tunnel's per-program fixed cost by G on top of
-    # the async pipelining. WHISPER_BENCH_CHAIN=0 disables.
-    G = int(os.environ.get("WHISPER_BENCH_CHAIN", "0"))
+    # Chained dispatch (DESIGN.md §19): G micro-batches' stage1 per program
+    # (loops stay own-program) — divides the tunnel's per-program fixed
+    # cost by ~2x on top of the async pipelining. WHISPER_BENCH_CHAIN=0
+    # disables (G=8 is the measured default).
+    G = int(os.environ.get("WHISPER_BENCH_CHAIN", "8"))
     if G > 1:
         chained = make_chained_runner(cfg, params, prompt, GEN_TOKENS, G,
                                       logit_bias=bias)
         audio_g = jnp.asarray(np.broadcast_to(
             audio, (G,) + audio.shape).copy())
-        chained(audio_g).tokens.block_until_ready()    # warmup/compile
+        for r in chained(audio_g):                     # warmup/compile
+            r.tokens.block_until_ready()
         k_outer = max(K // G, 2)
         t0 = time.perf_counter()
         results = [chained(audio_g) for _ in range(k_outer)]
-        for r in results:
-            r.tokens.block_until_ready()
+        for rs in results:
+            for r in rs:
+                r.tokens.block_until_ready()
         per_batch = (time.perf_counter() - t0) / (k_outer * G)
     elif K > 1:
         t0 = time.perf_counter()

@@ -41,6 +41,12 @@ BATCH = int(os.environ.get("CHAIN_BATCH", "32"))
 GEN_TOKENS = 89
 REPEATS = int(os.environ.get("CHAIN_REPEATS", "3"))
 GS = tuple(int(g) for g in os.environ.get("CHAIN_GS", "1,4,8").split(","))
+# "both": lax.map over both stages (one program pair per G batches).
+# "stage1": chain ONLY the feed-forward stage (G unrolled encoder+prefill
+#   copies in one program, G separate pytree outputs — no device slicing),
+#   keeping each decode loop its OWN program (the DESIGN.md §13 win);
+#   programs per batch drop 2 -> 1 + 1/G.
+MODE = os.environ.get("CHAIN_MODE", "both")
 
 
 def main() -> None:
@@ -86,23 +92,35 @@ def main() -> None:
         if G == 1:
             stage1_g = jax.jit(lambda ag: stage1_one(ag[0]))
             loop_g = jax.jit(lambda pre: loop_one(pre))
+
+            def run(ag):
+                return [loop_g(stage1_g(ag))]
+        elif MODE == "stage1":
+            stage1_g = jax.jit(
+                lambda ag: tuple(stage1_one(ag[i]) for i in range(G)))
+            loop_j = jax.jit(loop_one)
+
+            def run(ag):
+                return [loop_j(pre) for pre in stage1_g(ag)]
         else:
             stage1_g = jax.jit(lambda ag: jax.lax.map(stage1_one, ag))
             loop_g = jax.jit(lambda pre: jax.lax.map(loop_one, pre))
 
-        def run(ag):
-            return loop_g(stage1_g(ag))
+            def run(ag):
+                return [loop_g(stage1_g(ag))]
+
+        def sync(res):
+            for r in res:
+                r.tokens.block_until_ready()
 
         t0 = time.perf_counter()
-        res = run(audio_g)
-        res.tokens.block_until_ready()
+        sync(run(audio_g))
         compile_s = time.perf_counter() - t0
 
         times = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            res = run(audio_g)
-            res.tokens.block_until_ready()
+            sync(run(audio_g))
             times.append(time.perf_counter() - t0)
         p50 = float(np.median(times))
         per_batch = p50 / G
@@ -112,8 +130,8 @@ def main() -> None:
         # sync once — matches bench.py's pipelined drive mode
         t0 = time.perf_counter()
         rs = [run(audio_g) for _ in range(2)]
-        for r in rs:
-            r.tokens.block_until_ready()
+        for res in rs:
+            sync(res)
         steady_per_batch = (time.perf_counter() - t0) / (2 * G)
         steady_rtfx = BATCH * cfg.chunk_length_s / steady_per_batch
 

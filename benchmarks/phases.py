@@ -158,26 +158,18 @@ def main() -> None:
 
     # ---- encoder sub-phases: conv stem / one transformer layer / attn ----
     def mk_enc_conv():
-        from whisper_tpu.models.whisper import gelu
+        from whisper_tpu.models.whisper import conv_stem
 
         ep = params["encoder"]
 
         def body(x, c):
-            xx = (x + eps(c)).astype(dtype)
-
-            def conv(x_, p_, stride):
-                return jax.lax.conv_general_dilated(
-                    x_, p_["w"].astype(dtype), window_strides=(stride,),
-                    padding=[(1, 1)], dimension_numbers=("NCH", "OIH", "NCH"),
-                    precision=jax.lax.Precision.HIGHEST,
-                ) + p_["b"].astype(dtype)[None, :, None]
-
-            y = gelu(conv(xx, ep["conv1"], 1))
-            y = gelu(conv(y, ep["conv2"], 2))
+            y = conv_stem(ep, cfg, x + eps(c))
             return x, y[0, 0, 0].astype(jnp.float32)
         return mel, body
     if want("enc_conv"):
-        report("enc_conv", chain_time(mk_enc_conv, args.iters))
+        import os as _os
+        report("enc_conv", chain_time(mk_enc_conv, args.iters),
+               note=f"stem={_os.environ.get('WHISPER_TPU_CONV_STEM', 'conv')}")
 
     def mk_enc_attn():
         from whisper_tpu.ops.attention import multi_head_attention

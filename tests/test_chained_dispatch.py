@@ -1,11 +1,13 @@
 """Chained multi-batch dispatch: G micro-batches per jitted program.
 
-bench.py's chained throughput mode wraps the split stages (prefill | loop,
-DESIGN.md §13) in `lax.map` over a leading G axis so one program execution
-processes G batches — amortizing the axon tunnel's ~27 ms/program fixed
-dispatch cost (DESIGN.md §18). These tests pin the contract that the
-chained programs are token- and logprob-identical to the eager split path
-(greedy_decode), per chained slot.
+bench.py's chained throughput mode computes G micro-batches' stage1
+(mel+encoder+prefill) in ONE program and dispatches each decode loop as its
+own program — amortizing the axon tunnel's ~27 ms/program fixed dispatch
+cost without losing the loop's own-program compilation win (DESIGN.md §19;
+the lax.map-over-both-stages variant measured a definitive negative and
+survives in benchmarks/chained_dispatch.py CHAIN_MODE=both). These tests
+pin the contract that chained programs — both formulations — are token-
+and logprob-identical to the eager split path (greedy_decode), per slot.
 
 No reference counterpart (the reference transcribes one clip per process,
 whisper.mojo:170-223); this is throughput-serving machinery.
@@ -64,8 +66,8 @@ def test_chained_map_matches_eager_split(nano):
 
 
 def test_bench_chained_runner_shapes(nano):
-    """bench.py's chained runner helper produces (G,B,total) tokens and is
-    invariant to G in per-slot results (same audio in every slot)."""
+    """bench.py's stage1-chained runner returns G per-slot DecodeResults
+    that are invariant to G (same audio in every slot)."""
     cfg, params = nano
     from bench import make_chained_runner  # repo-root bench.py
 
@@ -77,9 +79,10 @@ def test_bench_chained_runner_shapes(nano):
 
     run1 = make_chained_runner(cfg, params, prompt, gen_tokens=NEW, G=1)
     run3 = make_chained_runner(cfg, params, prompt, gen_tokens=NEW, G=3)
-    r1 = run1(audio1)
+    (r1,) = run1(audio1)
     r3 = run3(audio3)
-    assert r3.tokens.shape == (3, B, prompt.shape[1] + NEW)
+    assert len(r3) == 3
+    assert r3[0].tokens.shape == (B, prompt.shape[1] + NEW)
     for g in range(3):
-        np.testing.assert_array_equal(np.asarray(r1.tokens[0]),
-                                      np.asarray(r3.tokens[g]))
+        np.testing.assert_array_equal(np.asarray(r1.tokens),
+                                      np.asarray(r3[g].tokens))

@@ -180,6 +180,56 @@ def sinusoidal_positions(length: int, channels: int) -> jax.Array:
 # encoder
 # ---------------------------------------------------------------------------
 
+def conv_stem(enc: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
+    """The encoder's two-conv stem: (B, n_mels, n_frames) -> (B, T, d),
+    GeLU after each conv (reference whisper.mojo:71-89).
+
+    Two formulations, WHISPER_TPU_CONV_STEM=conv|matmul (trace-time knob):
+      * conv (default): lax.conv_general_dilated as XLA lowers it.
+        Measured v5e bf16 b32: 1019 us — ~3x the compute floor but the
+        faster option.
+      * matmul: k3 convs as im2col matmuls (the mel-frontend STFT trick,
+        DESIGN.md §11, applied to the stem; same products per output
+        element, fp32 mode keeps HIGHEST). Measured 1760 us at b32 —
+        a definitive NEGATIVE: unlike the single-channel STFT, the conv2
+        im2col materializes a 3x-width (B, 1500, 1152) frames tensor
+        (~110 MB bf16 at b32) whose HBM round trip swamps the MXU win.
+        Kept as the documented A/B (the reference's load-time weight
+        transpose, whisper_tensor.mojo:358-364, is the same idea on CPU
+        where the dot stays in cache).
+    """
+    import os
+    dtype = jnp.dtype(cfg.compute_dtype)
+    x = mel.astype(dtype)
+    if os.environ.get("WHISPER_TPU_CONV_STEM", "conv") == "matmul":
+        def conv_mm(x_lc, p, stride, L_out):
+            """x_lc: (B, L_in, C) length-major; returns (B, L_out, C_out)."""
+            xp = jnp.pad(x_lc, ((0, 0), (1, 1), (0, 0)))
+            frames = jnp.concatenate(
+                [xp[:, s:s + stride * (L_out - 1) + 1:stride]
+                 for s in range(3)], axis=-1)           # (B, L_out, 3*C)
+            w = p["w"].astype(dtype)                    # (C_out, C_in, 3)
+            w_r = jnp.transpose(w, (2, 1, 0)).reshape(-1, w.shape[0])
+            return (jnp.dot(frames, w_r, precision=HIGHEST)
+                    + p["b"].astype(dtype))
+
+        x = jnp.transpose(x, (0, 2, 1))                 # (B, L, n_mels)
+        L = x.shape[1]
+        x = gelu(conv_mm(x, enc["conv1"], 1, L))
+        return gelu(conv_mm(x, enc["conv2"], 2, L // 2))  # (B, T, d)
+
+    def conv(x, p, stride):
+        return jax.lax.conv_general_dilated(
+            x, p["w"].astype(dtype), window_strides=(stride,),
+            padding=[(1, 1)], dimension_numbers=("NCH", "OIH", "NCH"),
+            precision=HIGHEST,
+        ) + p["b"].astype(dtype)[None, :, None]
+
+    x = gelu(conv(x, enc["conv1"], 1))
+    x = gelu(conv(x, enc["conv2"], 2))
+    return jnp.transpose(x, (0, 2, 1))                  # (B, T, d)
+
+
 def _encoder_tail_mode(cfg: WhisperConfig, B: int, T: int) -> str:
     """Dispatch for the fused encoder-block-tail kernel
     (ops/encoder_layer.py): 'pallas' | 'interpret' | 'off'.
@@ -223,19 +273,7 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
     (attention needs all positions' K/V first — a sequential barrier)."""
     enc = params["encoder"]
     dtype = jnp.dtype(cfg.compute_dtype)
-    x = mel.astype(dtype)
-
-    def conv(x, p, stride):
-        return jax.lax.conv_general_dilated(
-            x, p["w"].astype(dtype), window_strides=(stride,),
-            padding=[(1, 1)], dimension_numbers=("NCH", "OIH", "NCH"),
-            precision=HIGHEST,
-        ) + p["b"].astype(dtype)[None, :, None]
-
-    x = gelu(conv(x, enc["conv1"], 1))
-    x = gelu(conv(x, enc["conv2"], 2))
-    x = jnp.transpose(x, (0, 2, 1))                     # (B, T, d)
-    x = x + enc["pos_emb"].astype(dtype)
+    x = conv_stem(enc, cfg, mel) + enc["pos_emb"].astype(dtype)
 
     tail = _encoder_tail_mode(cfg, x.shape[0], x.shape[1])
 
