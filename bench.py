@@ -189,12 +189,19 @@ def main() -> None:
         for r in chained(audio_g):                     # warmup/compile
             r.tokens.block_until_ready()
         k_outer = max(K // G, 2)
-        t0 = time.perf_counter()
-        results = [chained(audio_g) for _ in range(k_outer)]
-        for rs in results:
-            for r in rs:
-                r.tokens.block_until_ready()
-        per_batch = (time.perf_counter() - t0) / (k_outer * G)
+        # first measurement immediately after a fresh ~10-min compile has
+        # once produced a physically impossible wall (blocks returning
+        # instantly); re-measure until the number is plausible vs the sync
+        # p50 (steady can legitimately beat sync ~2x, never 10x)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            results = [chained(audio_g) for _ in range(k_outer)]
+            for rs in results:
+                for r in rs:
+                    r.tokens.block_until_ready()
+            per_batch = (time.perf_counter() - t0) / (k_outer * G)
+            if per_batch > p50 / 8:
+                break
     elif K > 1:
         t0 = time.perf_counter()
         results = [run(params, audio_dev, prompt) for _ in range(K)]

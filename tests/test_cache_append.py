@@ -1,0 +1,122 @@
+"""In-place cache append kernel (ops/cache_append.py) + decoder_step_ip.
+
+The serving-mode decode step (models/whisper.py::decoder_step_ip) keeps
+the KV cache read-only inside the layer scan — the current token's
+self-attention term is folded in explicitly — and writes all layers' new
+rows with one aliased Pallas call. These tests pin:
+
+  * kernel write semantics across sublane-window positions (interpret);
+  * step_ip == decoder_forward single-step logits/cache parity, on both
+    the non-TPU DUS fallback and the interpret-mode kernel path;
+  * multi-step greedy token equality: the ip loop path vs the inline
+    decoder_forward path.
+
+Measured basis (v5e tiny bf16 b32, benchmarks/loop_bisect.py r3): XLA
+lowers every formulation of the per-step append as a full-cache rewrite
+(~780 µs/step of the 1370 µs step); the aliased kernel removes it
+(773 µs/step). Reference counterpart: the in-place append cursor,
+layers.mojo:14-52.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_tpu.models.whisper import (
+    decoder_forward,
+    decoder_step_ip,
+    init_kv_cache,
+    init_params,
+    precompute_cross_kv,
+)
+from whisper_tpu.ops.cache_append import cache_append_rows
+from whisper_tpu.tokenizer import build_prompt
+
+
+@pytest.mark.parametrize("pos", [0, 5, 8, 17, 31])
+def test_kernel_writes_one_row(pos):
+    L, B, H, S, D = 3, 2, 4, 32, 64
+    rng = np.random.RandomState(0)
+    ck = jnp.asarray(rng.randn(L, B, H, S, D).astype(np.float32))
+    cv = jnp.asarray(rng.randn(L, B, H, S, D).astype(np.float32))
+    kn = jnp.asarray(rng.randn(L, B, H, D).astype(np.float32))
+    vn = jnp.asarray(rng.randn(L, B, H, D).astype(np.float32))
+    ok, ov = cache_append_rows(ck, cv, kn, vn, pos, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(ok), np.asarray(ck.at[:, :, :, pos, :].set(kn)))
+    np.testing.assert_array_equal(
+        np.asarray(ov), np.asarray(cv.at[:, :, :, pos, :].set(vn)))
+
+
+def test_kernel_bf16():
+    L, B, H, S, D = 2, 2, 2, 16, 64
+    rng = np.random.RandomState(1)
+    ck = jnp.asarray(rng.randn(L, B, H, S, D)).astype(jnp.bfloat16)
+    cv = jnp.asarray(rng.randn(L, B, H, S, D)).astype(jnp.bfloat16)
+    kn = jnp.asarray(rng.randn(L, B, H, D)).astype(jnp.bfloat16)
+    vn = jnp.asarray(rng.randn(L, B, H, D)).astype(jnp.bfloat16)
+    ok, ov = cache_append_rows(ck, cv, kn, vn, 9, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(ok), np.asarray(ck.at[:, :, :, 9, :].set(kn)))
+    np.testing.assert_array_equal(
+        np.asarray(ov), np.asarray(cv.at[:, :, :, 9, :].set(vn)))
+
+
+@pytest.fixture(scope="module")
+def nano_state(small_cfg):
+    cfg = small_cfg
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    B = 2
+    enc = jax.random.normal(jax.random.PRNGKey(1),
+                            (B, cfg.n_audio_ctx, cfg.d_model), jnp.float32)
+    cross = precompute_cross_kv(params, cfg, enc)
+    prompt = jnp.asarray(np.tile(build_prompt(cfg), (B, 1)), jnp.int32)
+    cache = init_kv_cache(cfg, B, dtype=jnp.float32)
+    logits0, cache = decoder_forward(params, cfg, prompt, jnp.int32(0),
+                                     cache, cross)
+    last = jnp.argmax(logits0[:, -1:, :], axis=-1).astype(jnp.int32)
+    return cfg, params, cross, prompt, cache, last
+
+
+@pytest.mark.parametrize("backend", [None, "pallas_interpret"])
+def test_step_ip_matches_decoder_forward(nano_state, backend):
+    """Single-step logits + cache parity vs the append-first reference
+    formulation, on the DUS fallback (backend None on CPU) and the
+    interpret-mode Pallas kernel path."""
+    cfg, params, cross, prompt, cache, last = nano_state
+    P = prompt.shape[1]
+    cfg_b = cfg.replace(attn_backend=backend)
+    lr, cr = decoder_forward(params, cfg, last, jnp.int32(P), cache, cross)
+    li, ci = decoder_step_ip(params, cfg_b, last, jnp.int32(P), cache, cross)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(li),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cr["k"]), np.asarray(ci["k"]),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cr["v"]), np.asarray(ci["v"]),
+                               atol=2e-5, rtol=1e-5)
+    assert (jnp.argmax(lr[:, -1], -1) == jnp.argmax(li[:, -1], -1)).all()
+
+
+def test_greedy_ip_tokens_match_inline(small_cfg, monkeypatch):
+    """Multi-step: the eager split path forced onto step_ip produces the
+    same tokens as the inline decoder_forward path (use_t=False)."""
+    monkeypatch.setenv("WHISPER_TPU_LOOP_STEP", "ip")
+    from whisper_tpu.decode import greedy_decode
+
+    cfg = small_cfg
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    B = 2
+    enc = jax.random.normal(jax.random.PRNGKey(1),
+                            (B, cfg.n_audio_ctx, cfg.d_model), jnp.float32)
+    prompt = jnp.asarray(np.tile(build_prompt(cfg), (B, 1)), jnp.int32)
+    # max_new=11 keys a fresh loop trace for this env override (the mode is
+    # read at trace time; see _loop_step_mode's caveat)
+    r_ip = greedy_decode(params, cfg, enc, prompt, max_new=11)
+
+    @jax.jit
+    def inline(p_, e_, pr_):
+        return greedy_decode(p_, cfg, e_, pr_, max_new=11).tokens
+
+    np.testing.assert_array_equal(np.asarray(r_ip.tokens),
+                                  np.asarray(inline(params, enc, prompt)))

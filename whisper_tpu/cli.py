@@ -64,6 +64,11 @@ def main(argv=None) -> int:
                                                "json"], default="text")
     p.add_argument("--output", help="write the formatted transcript here "
                    "(default: stdout)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default=None,
+                   help="compute dtype: float32 = token-parity mode "
+                        "(default), bfloat16 = serving mode (in-place-"
+                        "append decode step, ~2x RTFx — DESIGN.md §20)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (fused dequant kernel on TPU)")
     p.add_argument("--cross-kv-quant", action="store_true",
@@ -86,6 +91,8 @@ def main(argv=None) -> int:
     from whisper_tpu.tokenizer import build_prompt
 
     cfg = get_config(args.model)
+    if args.dtype:
+        cfg = cfg.replace(compute_dtype=args.dtype)
     if args.kv_quant:
         cfg = cfg.replace(kv_cache_quant=True)
     if args.cross_kv_quant:

@@ -152,13 +152,36 @@ def _lengths(tokens: jax.Array, P: int, eot) -> jax.Array:
     return (P + gen_len).astype(jnp.int32)
 
 
+def _loop_step_mode(cfg: WhisperConfig) -> str:
+    """Which loop-local step formulation greedy decode uses when the loop
+    compiles as its own program (use_t=True):
+
+      * 'ip' — decoder_step_ip: standard cache layout, read-only cache
+        attention + ONE aliased in-place Pallas append per step. The bf16
+        serving default: measured 1370 → 773 µs/step at tiny b32
+        (benchmarks/loop_bisect.py; the XLA append rewrite was ~780 µs of
+        the step).
+      * 't'  — decoder_step_t: transposed loop-local cache. The fp32
+        default: its dots are byte-stable against mha_reference (the
+        token-parity contract), which step_ip's two-part softmax
+        regrouping is not (argmax-equal but not bit-equal).
+
+    WHISPER_TPU_LOOP_STEP=ip|t overrides (trace-time, same set-before-
+    first-call caveat as _fused_step_enabled)."""
+    env = os.environ.get("WHISPER_TPU_LOOP_STEP")
+    if env in ("ip", "t"):
+        return env
+    return "t" if jnp.dtype(cfg.compute_dtype) == jnp.float32 else "ip"
+
+
 def _greedy_prefill(params, cfg: WhisperConfig, enc_out, prompt, total: int,
                     use_t: bool = True):
     """Stage 1: cross-K/V precompute + prompt prefill (whisper.mojo:195-197).
-    Returns (cross_kv, cache, tokens, prefill_logits). use_t selects the
-    transposed loop-cache layout (decoder_step_t) — a win only when the
+    Returns (cross_kv, cache, tokens, prefill_logits). use_t enables the
+    loop-local step formulations (_loop_step_mode) — a win only when the
     loop compiles as its own program (DESIGN.md §13), so the inline path
-    passes False."""
+    passes False. Only mode 't' changes the cache layout here; mode 'ip'
+    keeps the standard layout."""
     B, P = prompt.shape
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
     cache = init_kv_cache(cfg, B, dtype=jnp.dtype(cfg.compute_dtype))
@@ -166,7 +189,8 @@ def _greedy_prefill(params, cfg: WhisperConfig, enc_out, prompt, total: int,
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
     logits, cache = decoder_forward(params, cfg, prompt, jnp.int32(0),
                                     cache, cross_kv)
-    if use_t and not cfg.kv_cache_quant and not _fused_step_enabled(cfg):
+    if use_t and not cfg.kv_cache_quant and not _fused_step_enabled(cfg) \
+            and _loop_step_mode(cfg) == "t":
         from whisper_tpu.models.whisper import transpose_self_cache
         cache = transpose_self_cache(cache)
     return cross_kv, cache, tokens, logits
@@ -213,18 +237,27 @@ def _greedy_loop(params, cfg: WhisperConfig, cross_kv, cache, tokens,
                                     )[:, cfg.no_speech_token]
 
     # Incremental step: the fused Pallas megakernel when eligible (one
-    # program for all decoder layers, ops/decoder_step.py), else the
-    # transposed-cache XLA step (decoder_step_t — the loop-local
-    # (L,B,H,Dh,S) layout that keeps cache appends in place; quantized
-    # caches keep the standard decoder_forward path). All share prefill
-    # above and logits/rules below.
+    # program for all decoder layers, ops/decoder_step.py), else one of the
+    # loop-local formulations per _loop_step_mode — decoder_step_ip
+    # (in-place Pallas append, bf16 serving default) or decoder_step_t
+    # (transposed cache, fp32 token-parity default); quantized self-caches
+    # keep the standard decoder_forward path. All share prefill above and
+    # logits/rules below.
     if _fused_step_enabled(cfg):
         step_fn, cache = _make_fused_step(params, cfg, cache, cross_kv)
     elif use_t and not cfg.kv_cache_quant:
-        from whisper_tpu.models.whisper import decoder_step_t
+        if _loop_step_mode(cfg) == "ip":
+            from whisper_tpu.models.whisper import decoder_step_ip
 
-        def step_fn(last, pos, cache):
-            return decoder_step_t(params, cfg, last, pos, cache, cross_kv)
+            def step_fn(last, pos, cache):
+                return decoder_step_ip(params, cfg, last, pos, cache,
+                                       cross_kv)
+        else:
+            from whisper_tpu.models.whisper import decoder_step_t
+
+            def step_fn(last, pos, cache):
+                return decoder_step_t(params, cfg, last, pos, cache,
+                                      cross_kv)
     else:
         def step_fn(last, pos, cache):
             return decoder_forward(params, cfg, last, pos, cache, cross_kv)

@@ -634,6 +634,146 @@ def decoder_step_t(params: Params, cfg: WhisperConfig,
     return final_logits(params, cfg, h), new_cache
 
 
+def decoder_step_ip(params: Params, cfg: WhisperConfig,
+                    tokens1: jax.Array, pos_offset: jax.Array,
+                    kv_cache: dict[str, jax.Array],
+                    cross_kv: dict[str, jax.Array],
+                    ) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """One T==1 decode step with a READ-ONLY standard-layout cache and a
+    single in-place batched append — the serving-mode loop step.
+
+    Why (measured, v5e tiny bf16 b32, benchmarks/loop_bisect.py r3): every
+    XLA spelling of the per-layer cache append — scan-stacked DUS
+    (decoder_step_t: 1370 µs/step), flat-buffer DUS (1861), transposed
+    lane-column writes — lowers as a full-cache data movement, ~780 µs of
+    the step. This step never writes the cache inside the layer scan:
+
+      * self-attention reads the cache STRICTLY below `pos` and folds the
+        current token's contribution in as an explicit extra softmax term
+        (s_self = q·k_new): m = max(max(s_cache), s_self), denominators
+        summed over both parts. Identical products to the append-first
+        formulation — the current token's row would hold exactly k_new —
+        differing only in fp32 accumulation grouping (the reason bf16
+        serving defaults here while fp32 token-parity mode keeps
+        decoder_step_t's byte-stable path; argmax agreement verified).
+      * all L layers' new K/V rows are written by ONE aliased Pallas call
+        (ops/cache_append.py) after the scan — ~1.5 MB of DMA instead of
+        the 176 MB rewrite. Measured: 1370 → 773 µs/step at b32.
+
+    The cache stays in the init_kv_cache layout (L, B, H, S, D) — no
+    transpose_self_cache pass and beam/continuous machinery see the
+    standard layout. Self-cache must be unquantized; int8 cross_kv is
+    supported (same policy as decoder_step_t.att_cross). Reference
+    counterpart: the in-place append cursor into preallocated buffers,
+    layers.mojo:14-52 — this is that idea expressed against XLA's
+    functional semantics.
+    """
+    assert "k_s" not in kv_cache, "decoder_step_ip is unquantized-self-only"
+    dec = params["decoder"]
+    dtype = jnp.dtype(cfg.compute_dtype)
+    f32 = jnp.float32
+    fp32_mode = dtype == f32
+    prec = HIGHEST if fp32_mode else None
+    S = kv_cache["k"].shape[-2]
+    D = cfg.head_dim
+
+    h = dec["tok_emb"][tokens1].astype(dtype)             # (B, 1, d)
+    h = h + dec["pos_emb"][pos_offset][None, None, :].astype(dtype)
+    strict_mask = (jnp.arange(S) < pos_offset)[None, None, None, :]
+
+    def _dots(q, k, k_eq):
+        if fp32_mode:
+            return jnp.einsum(k_eq, q.astype(f32) * (D ** -0.5),
+                              k.astype(f32), precision=prec)
+        return jnp.einsum(k_eq, q, k, preferred_element_type=f32
+                          ) * (D ** -0.5)
+
+    def _pv(p, v, v_eq):
+        if fp32_mode:
+            return jnp.einsum(v_eq, p, v.astype(f32), precision=prec)
+        return jnp.einsum(v_eq, p.astype(dtype), v,
+                          preferred_element_type=f32)
+
+    def att_self(q, k_cache, v_cache, k_new, v_new):
+        """Cache part (strictly past tokens, rows < pos) + the current
+        token's explicit term from k_new/v_new (B, H, 1, D)."""
+        s_c = _dots(q, k_cache, "bthd,bhsd->bhts")        # (B,H,1,S) f32
+        s_c = jnp.where(strict_mask, s_c, jnp.finfo(f32).min)
+        s_s = _dots(q, k_new, "bthd,bhtd->bht")[..., None]  # (B,H,1,1)
+        m = jnp.maximum(jnp.max(s_c, axis=-1, keepdims=True), s_s)
+        e_c = jnp.exp(s_c - m)
+        e_s = jnp.exp(s_s - m)
+        denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_s
+        o = _pv(e_c / denom, v_cache, "bhts,bhsd->bthd")  # (B,T,H,D) f32
+        o = o + ((e_s / denom).transpose(0, 3, 1, 2)
+                 * v_new.transpose(0, 2, 1, 3).astype(f32))
+        return o.astype(dtype)
+
+    def att_cross(q, cross_l):
+        """Cross attention; int8 cross caches stream through the Pallas
+        decode kernel (dequant in VMEM) exactly as in decoder_step_t."""
+        if "k_s" in cross_l:
+            from whisper_tpu.ops.attention import default_backend
+            backend = cfg.attn_backend or default_backend()
+            if (backend in ("auto", "pallas")
+                    and jax.default_backend() == "tpu") \
+                    or backend == "pallas_interpret":
+                from whisper_tpu.ops.decode_attention import (
+                    decode_attention_q8_bh,
+                )
+                return decode_attention_q8_bh(
+                    q.astype(dtype), cross_l["k"], cross_l["k_s"],
+                    cross_l["v"], cross_l["v_s"], None,
+                    interpret=backend == "pallas_interpret").astype(dtype)
+            k = dequantize_kv(cross_l["k"], cross_l["k_s"], dtype)
+            v = dequantize_kv(cross_l["v"], cross_l["v_s"], dtype)
+        else:
+            k = cross_l["k"].astype(dtype)
+            v = cross_l["v"].astype(dtype)
+        s = _dots(q, k, "bthd,bhsd->bhts")
+        p = jax.nn.softmax(s, axis=-1)
+        return _pv(p, v, "bhts,bhsd->bthd").astype(dtype)
+
+    def block(h, xs):
+        lp, cache_l, cross_l = xs
+        r = h
+        y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
+        q, k_new, v_new = qkv_fused(y, lp["attn"], cfg.n_heads)
+        a = att_self(q, cache_l["k"].astype(dtype), cache_l["v"].astype(dtype),
+                     k_new.astype(dtype), v_new.astype(dtype))
+        h = r + linear(merge_heads(a), lp["attn"]["o"])
+        r = h
+        y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"], cfg.ln_eps)
+        q = split_heads(linear(y, lp["cross_attn"]["q"]), cfg.n_heads)
+        h = r + linear(merge_heads(att_cross(q, cross_l)),
+                       lp["cross_attn"]["o"])
+        r = h
+        y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], cfg.ln_eps)
+        h = r + linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
+        return h, (k_new[:, :, 0, :], v_new[:, :, 0, :])
+
+    h, (k_news, v_news) = jax.lax.scan(
+        block, h, (dec["layers"], kv_cache, cross_kv),
+        unroll=cfg.n_text_layers <= 8)
+
+    # one batched append for all layers; Pallas in-place on TPU, plain DUS
+    # (identical result, XLA-lowered) elsewhere so CPU tests run fast
+    if jax.default_backend() == "tpu" \
+            or cfg.attn_backend == "pallas_interpret":
+        from whisper_tpu.ops.cache_append import cache_append_rows
+        ck, cv = cache_append_rows(
+            kv_cache["k"], kv_cache["v"], k_news, v_news, pos_offset,
+            interpret=cfg.attn_backend == "pallas_interpret")
+    else:
+        ck = jax.lax.dynamic_update_slice(
+            kv_cache["k"], k_news[:, :, :, None, :].astype(
+                kv_cache["k"].dtype), (0, 0, 0, pos_offset, 0))
+        cv = jax.lax.dynamic_update_slice(
+            kv_cache["v"], v_news[:, :, :, None, :].astype(
+                kv_cache["v"].dtype), (0, 0, 0, pos_offset, 0))
+    return final_logits(params, cfg, h), {"k": ck, "v": cv}
+
+
 def decoder_step_ragged(params: Params, cfg: WhisperConfig,
                         tokens1: jax.Array, pos: jax.Array,
                         kv_cache: dict[str, jax.Array],

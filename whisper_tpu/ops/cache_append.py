@@ -1,0 +1,91 @@
+"""In-place KV-cache row append — the Pallas kernel that kills the decode
+loop's per-step cache rewrite.
+
+Problem (measured, v5e tiny bf16 b32, benchmarks/loop_bisect.py): every
+XLA formulation of "write this step's K/V at row `pos`" — scan-stacked
+per-layer dynamic_update_slice (decoder_step_t), flat-buffer DUS at a
+static layer index, transposed lane-offset column writes — lowers as a
+full-cache data movement, ~780 µs/step of the 1500 µs step at b32 (the
+self KV cache is 88 MB; XLA rebuilds it every step instead of writing the
+1/448th row). The reference hits the same problem shape and solves it the
+same way: an in-place append cursor into a preallocated buffer
+(layers.mojo:14-52); on TPU the only way to express "write one row, touch
+nothing else" is a pallas_call with input_output_aliases.
+
+This kernel appends ALL layers' new K/V rows in one call (grid over L,
+~100 KB of DMA per step) into the standard (L, B, H, S, D) cache. The
+caller's attention must therefore NOT require the current token's row to
+be present in the cache — decoder_step_ip (models/whisper.py) folds the
+current token's self-score in as an explicit extra softmax term instead
+(identical products; see its docstring for the numerics contract).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_BLK_S = 8  # sublane-aligned row block containing `pos` (Mosaic requires
+            # the block's second-minor dim to divide 8 or equal S)
+
+
+def _append_kernel(pos_ref, kn_ref, vn_ref, k_in, v_in, ko_ref, vo_ref):
+    # Each grid step owns one layer's (1, B, H, _BLK_S, D) cache block —
+    # the 8-row aligned window containing `pos`. Blend the new row in at
+    # sublane offset pos % _BLK_S via an iota select (Mosaic disallows
+    # dynamic sublane stores on packed dtypes). The aliased cache buffers
+    # outside these blocks are untouched.
+    p = pos_ref[0] % _BLK_S
+    shape = k_in.shape  # (1, B, H, _BLK_S, D)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+    sel = rows == p
+    ko_ref[...] = jnp.where(sel, jnp.broadcast_to(kn_ref[...], shape),
+                            k_in[...])
+    vo_ref[...] = jnp.where(sel, jnp.broadcast_to(vn_ref[...], shape),
+                            v_in[...])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cache_append_rows(cache_k: jax.Array, cache_v: jax.Array,
+                      k_new: jax.Array, v_new: jax.Array,
+                      pos: jax.Array, *, interpret: bool = False
+                      ) -> tuple[jax.Array, jax.Array]:
+    """Write k_new/v_new (L, B, H, D) at row `pos` of the (L, B, H, S, D)
+    caches, in place (operands 3/4 are aliased to the outputs — no cache
+    copy; per-step DMA is L 8-row windows, ~1.5 MB at tiny b32 instead of
+    the 176 MB full-cache rewrite XLA's dynamic_update_slice lowers to).
+    Returns the updated (same-buffer) caches."""
+    L, B, H, S, D = cache_k.shape
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    # (L,B,H,D) -> (L,B,H,1,D) outside the kernel: the in-kernel store then
+    # needs no shape cast (Mosaic can't relayout sublane insertions)
+    k_new = k_new.reshape(L, B, H, 1, D)
+    v_new = v_new.reshape(L, B, H, 1, D)
+
+    row_new = pl.BlockSpec((1, B, H, 1, D), lambda l, info: (l, 0, 0, 0, 0))
+
+    def window_at_pos(l, info):
+        return (l, 0, 0, info[0] // _BLK_S, 0)
+
+    win_cache = pl.BlockSpec((1, B, H, _BLK_S, D), window_at_pos)
+
+    out_k, out_v = pl.pallas_call(
+        _append_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L,),
+            in_specs=[row_new, row_new, win_cache, win_cache],
+            out_specs=[win_cache, win_cache],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+                   jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype)],
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(pos_arr, k_new.astype(cache_k.dtype), v_new.astype(cache_v.dtype),
+      cache_k, cache_v)
+    return out_k, out_v

@@ -66,6 +66,12 @@ class WhisperPipeline:
                  tokenizer: Optional[Tokenizer] = None,
                  alignment_heads: Optional[Sequence[tuple]] = None):
         self.cfg = get_config(cfg) if isinstance(cfg, str) else cfg
+        # serving contract: a non-fp32 compute dtype stores the weights in
+        # that dtype too (halves weight HBM; the models cast at use-sites
+        # but a carried fp32 tree would poison scan carries to fp32)
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        if dtype != jnp.float32:
+            params = weights_lib.to_device(params, dtype)
         self.params = params
         self.tokenizer = tokenizer or Tokenizer(config=self.cfg)
         # official (layer, head) word-alignment table when a checkpoint
