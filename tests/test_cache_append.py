@@ -63,6 +63,53 @@ def test_kernel_bf16():
         np.asarray(ov), np.asarray(cv.at[:, :, :, 9, :].set(vn)))
 
 
+def test_kernel_ragged_per_row_positions():
+    from whisper_tpu.ops.cache_append import cache_append_rows_ragged
+    L, B, H, S, D = 2, 4, 3, 32, 64
+    rng = np.random.RandomState(0)
+    ck = jnp.asarray(rng.randn(L, B, H, S, D).astype(np.float32))
+    cv = jnp.asarray(rng.randn(L, B, H, S, D).astype(np.float32))
+    kn = jnp.asarray(rng.randn(L, B, H, D).astype(np.float32))
+    vn = jnp.asarray(rng.randn(L, B, H, D).astype(np.float32))
+    pos = jnp.asarray([0, 7, 8, 31], jnp.int32)
+    ok, ov = cache_append_rows_ragged(ck, cv, kn, vn, pos, interpret=True)
+    ek, ev = ck, cv
+    for b in range(4):
+        ek = ek.at[:, b, :, int(pos[b]), :].set(kn[:, b])
+        ev = ev.at[:, b, :, int(pos[b]), :].set(vn[:, b])
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ek))
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ev))
+
+
+def test_step_ragged_inplace_matches_scatter(small_cfg):
+    """decoder_step_ragged's in-place path (unquantized) must match the
+    scatter formulation (exercised via an int8-free cfg vs forcing the
+    scatter by calling the quantized layout's sibling semantics: here we
+    compare against a manual append-first reference step)."""
+    from whisper_tpu.models.whisper import decoder_step_ragged
+
+    cfg = small_cfg
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    B = 3
+    enc = jax.random.normal(jax.random.PRNGKey(1),
+                            (B, cfg.n_audio_ctx, cfg.d_model), jnp.float32)
+    cross = precompute_cross_kv(params, cfg, enc)
+    prompt = jnp.asarray(np.tile(build_prompt(cfg), (B, 1)), jnp.int32)
+    P = prompt.shape[1]
+    cache = init_kv_cache(cfg, B, dtype=jnp.float32)
+    _, cache = decoder_forward(params, cfg, prompt, jnp.int32(0), cache,
+                               cross)
+    last = jnp.asarray([[5], [7], [9]], jnp.int32)
+    pos = jnp.asarray([P, P, P], jnp.int32)   # shared pos: comparable to
+    # the append-first decoder_forward step at the same offset
+    lr, cr = decoder_forward(params, cfg, last, jnp.int32(P), cache, cross)
+    li, ci = decoder_step_ragged(params, cfg, last, pos, cache, cross)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(li),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cr["k"]), np.asarray(ci["k"]),
+                               atol=2e-5, rtol=1e-5)
+
+
 @pytest.fixture(scope="module")
 def nano_state(small_cfg):
     cfg = small_cfg

@@ -634,6 +634,49 @@ def decoder_step_t(params: Params, cfg: WhisperConfig,
     return final_logits(params, cfg, h), new_cache
 
 
+def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
+                          D: int, dtype) -> jax.Array:
+    """q_len==1 self-attention over a READ-ONLY cache plus the current
+    token's explicit contribution: softmax over [cache rows where
+    strict_mask] ∪ {self}, computed as a two-part online softmax (shared
+    max, summed denominators). Identical products to appending k_new/v_new
+    at the query's own position first; differs only in accumulation
+    grouping. Shared by decoder_step_ip (scalar pos mask) and
+    decoder_step_ragged's in-place path (per-row pos mask).
+
+    q: (B,1,H,D); k_cache/v_cache: (B,H,S,D); k_new/v_new: (B,H,1,D);
+    strict_mask broadcastable to (B,H,1,S). fp32 dtype keeps the
+    HIGHEST-precision scale-before-dot policy of mha_reference."""
+    f32 = jnp.float32
+    fp32_mode = jnp.dtype(dtype) == f32
+    prec = HIGHEST if fp32_mode else None
+
+    def _dots(q_, k_, k_eq):
+        if fp32_mode:
+            return jnp.einsum(k_eq, q_.astype(f32) * (D ** -0.5),
+                              k_.astype(f32), precision=prec)
+        return jnp.einsum(k_eq, q_, k_, preferred_element_type=f32
+                          ) * (D ** -0.5)
+
+    def _pv(p_, v_, v_eq):
+        if fp32_mode:
+            return jnp.einsum(v_eq, p_, v_.astype(f32), precision=prec)
+        return jnp.einsum(v_eq, p_.astype(dtype), v_,
+                          preferred_element_type=f32)
+
+    s_c = _dots(q, k_cache, "bthd,bhsd->bhts")            # (B,H,1,S) f32
+    s_c = jnp.where(strict_mask, s_c, jnp.finfo(f32).min)
+    s_s = _dots(q, k_new, "bthd,bhtd->bht")[..., None]    # (B,H,1,1)
+    m = jnp.maximum(jnp.max(s_c, axis=-1, keepdims=True), s_s)
+    e_c = jnp.exp(s_c - m)
+    e_s = jnp.exp(s_s - m)
+    denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_s
+    o = _pv(e_c / denom, v_cache, "bhts,bhsd->bthd")      # (B,T,H,D) f32
+    o = o + ((e_s / denom).transpose(0, 3, 1, 2)
+             * v_new.transpose(0, 2, 1, 3).astype(f32))
+    return o.astype(jnp.dtype(dtype))
+
+
 def decoder_step_ip(params: Params, cfg: WhisperConfig,
                     tokens1: jax.Array, pos_offset: jax.Array,
                     kv_cache: dict[str, jax.Array],
@@ -681,33 +724,9 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
     h = h + dec["pos_emb"][pos_offset][None, None, :].astype(dtype)
     strict_mask = (jnp.arange(S) < pos_offset)[None, None, None, :]
 
-    def _dots(q, k, k_eq):
-        if fp32_mode:
-            return jnp.einsum(k_eq, q.astype(f32) * (D ** -0.5),
-                              k.astype(f32), precision=prec)
-        return jnp.einsum(k_eq, q, k, preferred_element_type=f32
-                          ) * (D ** -0.5)
-
-    def _pv(p, v, v_eq):
-        if fp32_mode:
-            return jnp.einsum(v_eq, p, v.astype(f32), precision=prec)
-        return jnp.einsum(v_eq, p.astype(dtype), v,
-                          preferred_element_type=f32)
-
     def att_self(q, k_cache, v_cache, k_new, v_new):
-        """Cache part (strictly past tokens, rows < pos) + the current
-        token's explicit term from k_new/v_new (B, H, 1, D)."""
-        s_c = _dots(q, k_cache, "bthd,bhsd->bhts")        # (B,H,1,S) f32
-        s_c = jnp.where(strict_mask, s_c, jnp.finfo(f32).min)
-        s_s = _dots(q, k_new, "bthd,bhtd->bht")[..., None]  # (B,H,1,1)
-        m = jnp.maximum(jnp.max(s_c, axis=-1, keepdims=True), s_s)
-        e_c = jnp.exp(s_c - m)
-        e_s = jnp.exp(s_s - m)
-        denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_s
-        o = _pv(e_c / denom, v_cache, "bhts,bhsd->bthd")  # (B,T,H,D) f32
-        o = o + ((e_s / denom).transpose(0, 3, 1, 2)
-                 * v_new.transpose(0, 2, 1, 3).astype(f32))
-        return o.astype(dtype)
+        return _self_attention_extra(q, k_cache, v_cache, k_new, v_new,
+                                     strict_mask, D, dtype)
 
     def att_cross(q, cross_l):
         """Cross attention; int8 cross caches stream through the Pallas
@@ -730,9 +749,17 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
         else:
             k = cross_l["k"].astype(dtype)
             v = cross_l["v"].astype(dtype)
-        s = _dots(q, k, "bthd,bhsd->bhts")
+        if fp32_mode:
+            s = jnp.einsum("bthd,bhsd->bhts", q.astype(f32) * (D ** -0.5),
+                           k.astype(f32), precision=prec)
+            p = jax.nn.softmax(s, axis=-1)
+            return jnp.einsum("bhts,bhsd->bthd", p, v.astype(f32),
+                              precision=prec).astype(dtype)
+        s = jnp.einsum("bthd,bhsd->bhts", q, k,
+                       preferred_element_type=f32) * (D ** -0.5)
         p = jax.nn.softmax(s, axis=-1)
-        return _pv(p, v, "bhts,bhsd->bthd").astype(dtype)
+        return jnp.einsum("bhts,bhsd->bthd", p.astype(dtype), v,
+                          preferred_element_type=f32).astype(dtype)
 
     def block(h, xs):
         lp, cache_l, cross_l = xs
@@ -791,6 +818,15 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
         per-slot HBM, i.e. 2x the continuous-serving slots per byte.
     Returns:
       logits (B, 1, vocab) fp32, updated kv_cache.
+
+    Unquantized self-caches take the in-place path (same design as
+    decoder_step_ip: read-only cache with a strict per-row `< pos[b]`
+    mask + the current token's explicit softmax term, then ONE aliased
+    per-row Pallas append, cache_append_rows_ragged) — the XLA scatter
+    this replaces lowers as a full-cache rewrite per layer per step, the
+    same ~780 µs/step pathology measured for greedy (DESIGN.md §20).
+    int8 self-caches keep the scatter formulation (the kernel would need
+    scale-row writes; capacity mode tolerates the rewrite).
     """
     dec = params["decoder"]
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -800,6 +836,10 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
     h = dec["tok_emb"][tokens1].astype(dtype)            # (B, 1, d)
     h = h + dec["pos_emb"][pos][:, None].astype(dtype)
     kv_len = pos + 1                                     # (B,)
+    inplace = "k_s" not in kv_cache
+    S = kv_cache["k"].shape[-2]
+    strict_mask = (jnp.arange(S)[None, :] < pos[:, None]
+                   )[:, None, None, :]                   # (B,1,1,S)
 
     def scatter(cache_l: dict, name: str, new: jax.Array) -> dict:
         """Per-row scatter: row b's new K/V land at position pos[b];
@@ -820,11 +860,19 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
         r = h
         y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
         q, k_new, v_new = qkv_fused(y, lp["attn"], cfg.n_heads)
-        cache_l = scatter(cache_l, "k", k_new)
-        cache_l = scatter(cache_l, "v", v_new)
-        a = merge_heads(_cache_attention(
-            q, cache_l, kv_len, causal=False, q_offset=0, cfg=cfg,
-            dtype=dtype))
+        if inplace:
+            a = merge_heads(_self_attention_extra(
+                q, cache_l["k"].astype(dtype), cache_l["v"].astype(dtype),
+                k_new.astype(dtype), v_new.astype(dtype), strict_mask,
+                cfg.head_dim, dtype))
+            ys = (k_new[:, :, 0, :], v_new[:, :, 0, :])
+        else:
+            cache_l = scatter(cache_l, "k", k_new)
+            cache_l = scatter(cache_l, "v", v_new)
+            a = merge_heads(_cache_attention(
+                q, cache_l, kv_len, causal=False, q_offset=0, cfg=cfg,
+                dtype=dtype))
+            ys = cache_l
         h = r + linear(a, lp["attn"]["o"])
         r = h
         y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"], cfg.ln_eps)
@@ -836,10 +884,27 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
         r = h
         y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], cfg.ln_eps)
         h = r + linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
-        return h, cache_l
+        return h, ys
 
-    h, new_cache = jax.lax.scan(
+    h, out = jax.lax.scan(
         block, h, (dec["layers"], kv_cache, cross_kv),
         unroll=cfg.n_text_layers <= 8)
 
-    return final_logits(params, cfg, h), new_cache
+    if not inplace:
+        return final_logits(params, cfg, h), out
+
+    k_news, v_news = out                                 # (L, B, H, D)
+    if jax.default_backend() == "tpu" \
+            or cfg.attn_backend == "pallas_interpret":
+        from whisper_tpu.ops.cache_append import cache_append_rows_ragged
+        ck, cv = cache_append_rows_ragged(
+            kv_cache["k"], kv_cache["v"], k_news, v_news, pos,
+            interpret=cfg.attn_backend == "pallas_interpret")
+    else:
+        # separated advanced indices (rows, pos) land in FRONT positions:
+        # the update value must be (B, L, H, D)
+        ck = kv_cache["k"].at[:, rows, :, pos, :].set(
+            jnp.swapaxes(k_news, 0, 1).astype(kv_cache["k"].dtype))
+        cv = kv_cache["v"].at[:, rows, :, pos, :].set(
+            jnp.swapaxes(v_news, 0, 1).astype(kv_cache["v"].dtype))
+    return final_logits(params, cfg, h), {"k": ck, "v": cv}

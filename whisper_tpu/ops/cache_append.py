@@ -89,3 +89,59 @@ def cache_append_rows(cache_k: jax.Array, cache_v: jax.Array,
     )(pos_arr, k_new.astype(cache_k.dtype), v_new.astype(cache_v.dtype),
       cache_k, cache_v)
     return out_k, out_v
+
+
+def _append_ragged_kernel(pos_ref, kn_ref, vn_ref, k_in, v_in,
+                          ko_ref, vo_ref):
+    # grid (L, B): each step owns row b of layer l — the 8-row window
+    # containing pos[b]. Same iota-select blend as _append_kernel.
+    b = pl.program_id(1)
+    p = pos_ref[b] % _BLK_S
+    shape = k_in.shape  # (1, 1, H, _BLK_S, D)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+    sel = rows == p
+    ko_ref[...] = jnp.where(sel, jnp.broadcast_to(kn_ref[...], shape),
+                            k_in[...])
+    vo_ref[...] = jnp.where(sel, jnp.broadcast_to(vn_ref[...], shape),
+                            v_in[...])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cache_append_rows_ragged(cache_k: jax.Array, cache_v: jax.Array,
+                             k_new: jax.Array, v_new: jax.Array,
+                             pos: jax.Array, *, interpret: bool = False
+                             ) -> tuple[jax.Array, jax.Array]:
+    """Per-row append: batch row b's new K/V land at its OWN position
+    pos[b] — the continuous-batching engine's ragged write
+    (decoder_step_ragged; sequences join/leave mid-decode so there is no
+    shared pos). k_new/v_new: (L, B, H, D); pos: (B,) int32. In-place via
+    the same aliasing as cache_append_rows; grid (L, B) of ~100 KB window
+    DMAs instead of an XLA scatter's full-cache rewrite."""
+    L, B, H, S, D = cache_k.shape
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(B)
+    k_new = k_new.reshape(L, B, H, 1, D)
+    v_new = v_new.reshape(L, B, H, 1, D)
+
+    row_new = pl.BlockSpec((1, 1, H, 1, D),
+                           lambda l, b, info: (l, b, 0, 0, 0))
+
+    def window_at_pos(l, b, info):
+        return (l, b, 0, info[b] // _BLK_S, 0)
+
+    win_cache = pl.BlockSpec((1, 1, H, _BLK_S, D), window_at_pos)
+
+    out_k, out_v = pl.pallas_call(
+        _append_ragged_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, B),
+            in_specs=[row_new, row_new, win_cache, win_cache],
+            out_specs=[win_cache, win_cache],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+                   jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype)],
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(pos_arr, k_new.astype(cache_k.dtype), v_new.astype(cache_v.dtype),
+      cache_k, cache_v)
+    return out_k, out_v

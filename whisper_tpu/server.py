@@ -300,19 +300,16 @@ class ContinuousEngine:
         """Recover service after a step() fault: a poisoned in-flight slot
         would otherwise stay busy=True forever (step() re-raising on every
         pump iteration turns one bad request into a permanent outage while
-        /healthz still reports ok). Called with self._lock held."""
-        b = self._b
-        b._slots = [None] * b.B
+        /healthz still reports ok). Rebuilds the device state from scratch —
+        _engine_step donates its state (in-place cache append), so a failed
+        step may have consumed the old buffers. Called with self._lock
+        held."""
         try:
-            b.state = {
-                **b.state,
-                "active": b.state["active"].at[:].set(False),
-                "finished": b.state["finished"].at[:].set(False),
-                "pos": b.state["pos"].at[:].set(0),
-            }
+            self._b.reset_state()
         except Exception:
-            pass                           # device-side state unusable; the
-                                           # next fill rewrites every field
+            # even allocation failed; clear the slots so the pump doesn't
+            # spin on busy=True, and let the next fill retry the alloc
+            self._b._slots = [None] * self._b.B
 
     def _run(self):
         import queue as _q

@@ -69,7 +69,8 @@ def _prefill_join(params, cfg: WhisperConfig, cache, cross,
     return jax.tree.map(merge, cache, new_cache)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "opts"))
+@functools.partial(jax.jit, static_argnames=("cfg", "opts"),
+                   donate_argnums=(2,))
 def _engine_step(params, cfg: WhisperConfig, state,
                  opts: Optional[DecodeOptions] = None):
     """One lockstep token for every active slot.
@@ -167,6 +168,20 @@ class ContinuousBatcher:
         # <|startofprev|> conditioning), clamped to the context window
         self.max_prev = cfg.n_text_ctx // 2 - self.base_p - 1
         self.total = cfg.n_text_ctx
+        self.state = self._fresh_state()
+        self._slots: list[Optional[_Slot]] = [None] * self.B
+        # queue entries: (rid, audio, (language, task), callback, on_token)
+        self._queue: list[tuple] = []
+        self._next_id = 0
+        self._results: dict[int, list[int]] = {}
+
+    def _fresh_state(self) -> dict:
+        """Build a zeroed device-state pytree. Used at init and for fault
+        recovery: _engine_step DONATES the state (the in-place cache append
+        aliases its buffers — without donation XLA would copy the 10s-of-MB
+        cache at every program entry), so after a failed step the old
+        buffers are consumed and the state must be rebuilt, not patched."""
+        cfg = self.cfg
         cache = init_kv_cache(cfg, self.B,
                               dtype=jnp.dtype(cfg.compute_dtype))
         L, _, H, S, D = cache["k"].shape
@@ -183,8 +198,9 @@ class ContinuousBatcher:
             zeros_cross = jnp.zeros((L, self.B, H, cfg.n_audio_ctx, D),
                                     cdtype)
             cross0 = {"k": zeros_cross, "v": zeros_cross}
-        self.state = {
-            "tokens": jnp.full((self.B, self.total), cfg.eot_token, jnp.int32),
+        return {
+            "tokens": jnp.full((self.B, self.total), cfg.eot_token,
+                               jnp.int32),
             "pos": jnp.zeros((self.B,), jnp.int32),
             "forced_len": jnp.zeros((self.B,), jnp.int32),
             "cap": jnp.full((self.B,), self.total, jnp.int32),
@@ -194,11 +210,12 @@ class ContinuousBatcher:
             "cache": cache,
             "cross": cross0,
         }
-        self._slots: list[Optional[_Slot]] = [None] * self.B
-        # queue entries: (rid, audio, (language, task), callback, on_token)
-        self._queue: list[tuple] = []
-        self._next_id = 0
-        self._results: dict[int, list[int]] = {}
+
+    def reset_state(self) -> None:
+        """Fault recovery: discard all device state (donated buffers may be
+        consumed by a failed step) and clear every slot."""
+        self.state = self._fresh_state()
+        self._slots = [None] * self.B
 
     # ---- client API ----
     def submit(self, audio: np.ndarray, language: str = "en",
