@@ -323,7 +323,8 @@ def main() -> None:
             return lambda: run(params, cross, tokens0, cache0)
         return make
 
-    def step_inplace(params, cfg, last, pos, cache, cross):
+    def step_inplace(params, cfg, last, pos, cache, cross,
+                     skip: frozenset = frozenset()):
         """Standard (L,B,H,S,D) cache, READ-ONLY inside the layer scan:
         the current token's self-attention term is folded in explicitly
         (strict `< pos` cache mask + a rank-1 softmax extension from
@@ -346,35 +347,41 @@ def main() -> None:
             y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"],
                            cfg.ln_eps)
             q, k_new, v_new = qkv_fused(y, lp["attn"], cfg.n_heads)
-            # cache part (strictly past tokens) + explicit self term
-            s_c = jnp.einsum("bthd,bhsd->bhts", q, cache_l["k"].astype(dtype),
-                             preferred_element_type=f32) * (D ** -0.5)
-            s_c = jnp.where(strict_mask, s_c, jnp.finfo(f32).min)
-            s_s = jnp.einsum("bthd,bhtd->bht", q, k_new.astype(dtype),
-                             preferred_element_type=f32)[..., None] \
-                * (D ** -0.5)                       # (B,H,1,1)
-            m = jnp.maximum(jnp.max(s_c, axis=-1, keepdims=True), s_s)
-            e_c = jnp.exp(s_c - m)
-            e_s = jnp.exp(s_s - m)
-            denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_s
-            o = jnp.einsum("bhts,bhsd->bthd", (e_c / denom).astype(dtype),
-                           cache_l["v"].astype(dtype),
-                           preferred_element_type=f32)
-            o = o + (e_s / denom).transpose(0, 3, 1, 2) * \
-                v_new.transpose(0, 2, 1, 3).astype(f32)
-            a = o.astype(dtype)
-            h = r + linear(merge_heads(a), lp["attn"]["o"])
-            r = h
-            y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"],
-                           cfg.ln_eps)
-            qx = split_heads(linear(y, lp["cross_attn"]["q"]), cfg.n_heads)
-            a = att_ref(qx, cross_l["k"].astype(dtype),
-                        cross_l["v"].astype(dtype))
-            h = r + linear(merge_heads(a), lp["cross_attn"]["o"])
-            r = h
-            y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"],
-                           cfg.ln_eps)
-            h = r + linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
+            if "self" not in skip:
+                # cache part (strictly past tokens) + explicit self term
+                s_c = jnp.einsum("bthd,bhsd->bhts", q,
+                                 cache_l["k"].astype(dtype),
+                                 preferred_element_type=f32) * (D ** -0.5)
+                s_c = jnp.where(strict_mask, s_c, jnp.finfo(f32).min)
+                s_s = jnp.einsum("bthd,bhtd->bht", q, k_new.astype(dtype),
+                                 preferred_element_type=f32)[..., None] \
+                    * (D ** -0.5)                       # (B,H,1,1)
+                m = jnp.maximum(jnp.max(s_c, axis=-1, keepdims=True), s_s)
+                e_c = jnp.exp(s_c - m)
+                e_s = jnp.exp(s_s - m)
+                denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_s
+                o = jnp.einsum("bhts,bhsd->bthd",
+                               (e_c / denom).astype(dtype),
+                               cache_l["v"].astype(dtype),
+                               preferred_element_type=f32)
+                o = o + (e_s / denom).transpose(0, 3, 1, 2) * \
+                    v_new.transpose(0, 2, 1, 3).astype(f32)
+                a = o.astype(dtype)
+                h = r + linear(merge_heads(a), lp["attn"]["o"])
+            if "cross" not in skip:
+                r = h
+                y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"],
+                               cfg.ln_eps)
+                qx = split_heads(linear(y, lp["cross_attn"]["q"]),
+                                 cfg.n_heads)
+                a = att_ref(qx, cross_l["k"].astype(dtype),
+                            cross_l["v"].astype(dtype))
+                h = r + linear(merge_heads(a), lp["cross_attn"]["o"])
+            if "mlp" not in skip:
+                r = h
+                y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"],
+                               cfg.ln_eps)
+                h = r + linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
             return h, (k_new[:, :, 0, :], v_new[:, :, 0, :])
 
         def att_ref(q, k, v):
@@ -386,11 +393,20 @@ def main() -> None:
 
         h, (k_news, v_news) = jax.lax.scan(
             block, h, (dec["layers"], cache, cross), unroll=True)
-        ck, cv = cache_append_rows(cache["k"], cache["v"], k_news, v_news,
-                                   pos)
-        return final_logits(params, cfg, h), {"k": ck, "v": cv}
+        if "append" in skip:
+            ck, cv = cache["k"], cache["v"]
+        else:
+            ck, cv = cache_append_rows(cache["k"], cache["v"], k_news,
+                                       v_news, pos)
+        if "logits" in skip:
+            logits = jnp.broadcast_to(
+                jnp.sum(h, axis=-1, keepdims=True), h.shape[:2] + (8,)
+            ).astype(f32)
+        else:
+            logits = final_logits(params, cfg, h)
+        return logits, {"k": ck, "v": cv}
 
-    def make_inplace():
+    def make_inplace(skip: frozenset = frozenset()):
         def make(n):
             cross, cache0, tokens0, logits0 = pre_f
             first = jnp.argmax(logits0[:, -1, :], axis=-1).astype(jnp.int32)
@@ -400,7 +416,7 @@ def main() -> None:
                 tokens, cache = carry
                 last = jax.lax.dynamic_slice(tokens, (0, P + i), (B, 1))
                 logits, cache = step_inplace(params, cfg, last, P + i,
-                                             cache, cross)
+                                             cache, cross, skip)
                 nxt = jnp.argmax(logits[:, -1, :], axis=-1
                                  ).astype(jnp.int32)
                 tokens = jax.lax.dynamic_update_slice(
@@ -465,6 +481,11 @@ def main() -> None:
         "abl_noappend": lambda: make_abl(frozenset({"append"})),
         "abl_flat": make_flat,
         "abl_inplace": make_inplace,
+        "abl_ip_nocross": lambda: make_inplace(frozenset({"cross"})),
+        "abl_ip_noself": lambda: make_inplace(frozenset({"self"})),
+        "abl_ip_nologits": lambda: make_inplace(frozenset({"logits"})),
+        "abl_ip_nomlp": lambda: make_inplace(frozenset({"mlp"})),
+        "abl_ip_noappend": lambda: make_inplace(frozenset({"append"})),
     }
     for v in args.variants.split(","):
         us, fixed = slope(variants[v]())

@@ -145,6 +145,36 @@ def test_step_ip_matches_decoder_forward(nano_state, backend):
     assert (jnp.argmax(lr[:, -1], -1) == jnp.argmax(li[:, -1], -1)).all()
 
 
+def test_step_ip_bg_cross_kernel(nano_state, monkeypatch):
+    """The WHISPER_TPU_IP_CROSS=bgN knob (batch-grouped Pallas cross
+    kernel, interpret mode) matches the XLA einsum cross path."""
+    monkeypatch.setenv("WHISPER_TPU_IP_CROSS", "bg2")
+    cfg, params, cross, prompt, cache, last = nano_state
+    P = prompt.shape[1]
+    cfg_b = cfg.replace(attn_backend="pallas_interpret")
+    lr, _ = decoder_forward(params, cfg, last, jnp.int32(P), cache, cross)
+    li, _ = decoder_step_ip(params, cfg_b, last, jnp.int32(P), cache, cross)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(li),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_bg_kernel_matches_reference():
+    from whisper_tpu.ops.attention import mha_reference
+    from whisper_tpu.ops.decode_attention import decode_attention_bg
+    rng = np.random.RandomState(0)
+    B, H, S, D = 8, 3, 192, 64
+    q = jnp.asarray(rng.randn(B, 1, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, H, S, D).astype(np.float32))
+    for kv_len in [1, 60, 192]:
+        for bb in [2, 8]:
+            o = decode_attention_bg(q, k, v, kv_len, block_b=bb,
+                                    block_k=64, interpret=True)
+            ref = mha_reference(q, k, v, jnp.int32(kv_len))
+            np.testing.assert_allclose(np.asarray(o), np.asarray(ref),
+                                       atol=2e-5, rtol=1e-5)
+
+
 def test_greedy_ip_tokens_match_inline(small_cfg, monkeypatch):
     """Multi-step: the eager split path forced onto step_ip produces the
     same tokens as the inline decoder_forward path (use_t=False)."""

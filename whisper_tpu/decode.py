@@ -443,8 +443,9 @@ def _beam_prefill(params, cfg: WhisperConfig, enc_out, prompt,
     prompt_bw = jnp.repeat(prompt, W, axis=0)            # (BW, P)
     logits, cache = decoder_forward(params, cfg, prompt_bw, jnp.int32(0),
                                     cache, cross_kv)
-    if use_t and not cfg.kv_cache_quant:
-        # loop-local transposed cache layout (see decoder_step_t)
+    if use_t and not cfg.kv_cache_quant and _loop_step_mode(cfg) == "t":
+        # loop-local transposed cache layout (see decoder_step_t); mode
+        # 'ip' (decoder_step_ip) keeps the standard layout
         from whisper_tpu.models.whisper import transpose_self_cache
         cache = transpose_self_cache(cache)
     return cross_kv, cache, logits
@@ -508,10 +509,18 @@ def _beam_loop(params, cfg: WhisperConfig, cross_kv, cache, prefill_logits,
         return l
 
     if use_t and not cfg.kv_cache_quant:
-        from whisper_tpu.models.whisper import decoder_step_t
+        if _loop_step_mode(cfg) == "ip":
+            from whisper_tpu.models.whisper import decoder_step_ip
 
-        def beam_step(last, pos, cache):
-            return decoder_step_t(params, cfg, last, pos, cache, cross_kv)
+            def beam_step(last, pos, cache):
+                return decoder_step_ip(params, cfg, last, pos, cache,
+                                       cross_kv)
+        else:
+            from whisper_tpu.models.whisper import decoder_step_t
+
+            def beam_step(last, pos, cache):
+                return decoder_step_t(params, cfg, last, pos, cache,
+                                      cross_kv)
     else:
         def beam_step(last, pos, cache):
             return decoder_forward(params, cfg, last, pos, cache, cross_kv)
@@ -568,7 +577,8 @@ def _beam_loop(params, cfg: WhisperConfig, cross_kv, cache, prefill_logits,
         val = jnp.where(P + i + 1 < total, new_tok, cur)
         tokens = tokens.at[:, :, col].set(val)
         flat_src = (jnp.arange(B)[:, None] * W + src).reshape(BW)
-        s_axis = 4 if (use_t and not cfg.kv_cache_quant) else 3
+        s_axis = 4 if (use_t and not cfg.kv_cache_quant
+                       and _loop_step_mode(cfg) == "t") else 3
         cache = _beam_gather_cache(cache, flat_src, P + i + 1, s_axis)
         finished = jnp.take_along_axis(finished, src, axis=1)
         finished = jnp.logical_or(finished, new_tok == eot)

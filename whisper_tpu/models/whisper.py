@@ -646,35 +646,72 @@ def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
 
     q: (B,1,H,D); k_cache/v_cache: (B,H,S,D); k_new/v_new: (B,H,1,D);
     strict_mask broadcastable to (B,H,1,S). fp32 dtype keeps the
-    HIGHEST-precision scale-before-dot policy of mha_reference."""
+    HIGHEST-precision scale-before-dot policy of mha_reference.
+
+    bf16 mode runs the two big contractions at a TILED query length
+    (identical rows, slice row 0): at T==1 XLA lowers the einsums as VPU
+    convert+multiply+reduce fusions — measured COMPUTE-bound at ~160
+    µs/layer for the b32 cross attention vs a 90 µs read floor
+    (DESIGN.md §22) — while T>=8 flips the lowering to an MXU dot, where
+    the contraction is effectively free and only the HBM reads remain.
+    WHISPER_TPU_MXU_T overrides the tile (0 = the straight T==1 form)."""
     f32 = jnp.float32
     fp32_mode = jnp.dtype(dtype) == f32
     prec = HIGHEST if fp32_mode else None
+    B, _, H, _ = q.shape
 
-    def _dots(q_, k_, k_eq):
-        if fp32_mode:
-            return jnp.einsum(k_eq, q_.astype(f32) * (D ** -0.5),
-                              k_.astype(f32), precision=prec)
-        return jnp.einsum(k_eq, q_, k_, preferred_element_type=f32
-                          ) * (D ** -0.5)
-
-    def _pv(p_, v_, v_eq):
-        if fp32_mode:
-            return jnp.einsum(v_eq, p_, v_.astype(f32), precision=prec)
-        return jnp.einsum(v_eq, p_.astype(dtype), v_,
-                          preferred_element_type=f32)
-
-    s_c = _dots(q, k_cache, "bthd,bhsd->bhts")            # (B,H,1,S) f32
+    if fp32_mode:
+        s_c = jnp.einsum("bthd,bhsd->bhts", q.astype(f32) * (D ** -0.5),
+                         k_cache.astype(f32), precision=prec)
+        s_s = jnp.einsum("bthd,bhtd->bht", q.astype(f32) * (D ** -0.5),
+                         k_new.astype(f32), precision=prec)[..., None]
+    else:
+        t8 = _mxu_query_tile()
+        if t8 > 1:
+            q8 = jnp.broadcast_to(q, (B, t8, H, q.shape[-1]))
+            s_c = jnp.einsum("bthd,bhsd->bhts", q8, k_cache,
+                             preferred_element_type=f32
+                             )[:, :, :1] * (D ** -0.5)
+        else:
+            s_c = jnp.einsum("bthd,bhsd->bhts", q, k_cache,
+                             preferred_element_type=f32) * (D ** -0.5)
+        s_s = jnp.einsum("bthd,bhtd->bht", q, k_new,
+                         preferred_element_type=f32)[..., None] \
+            * (D ** -0.5)
     s_c = jnp.where(strict_mask, s_c, jnp.finfo(f32).min)
-    s_s = _dots(q, k_new, "bthd,bhtd->bht")[..., None]    # (B,H,1,1)
     m = jnp.maximum(jnp.max(s_c, axis=-1, keepdims=True), s_s)
     e_c = jnp.exp(s_c - m)
     e_s = jnp.exp(s_s - m)
     denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_s
-    o = _pv(e_c / denom, v_cache, "bhts,bhsd->bthd")      # (B,T,H,D) f32
+    p = e_c / denom                                       # (B,H,1,S) f32
+    if fp32_mode:
+        o = jnp.einsum("bhts,bhsd->bthd", p, v_cache.astype(f32),
+                       precision=prec)
+    else:
+        t8 = _mxu_query_tile()
+        if t8 > 1:
+            p8 = jnp.broadcast_to(p.astype(dtype),
+                                  p.shape[:2] + (t8, p.shape[-1]))
+            o = jnp.einsum("bhts,bhsd->bthd", p8, v_cache,
+                           preferred_element_type=f32)[:, :1]
+        else:
+            o = jnp.einsum("bhts,bhsd->bthd", p.astype(dtype), v_cache,
+                           preferred_element_type=f32)
     o = o + ((e_s / denom).transpose(0, 3, 1, 2)
              * v_new.transpose(0, 2, 1, 3).astype(f32))
     return o.astype(jnp.dtype(dtype))
+
+
+def _mxu_query_tile() -> int:
+    """Query-tile width for the T==1 decode contractions (bf16 only);
+    trace-time env knob WHISPER_TPU_MXU_T. Default 0 (OFF): tiling to
+    T=8 does flip XLA's lowering from VPU convert+mul+reduce to an MXU
+    dot, but the 8x-wide score/probability intermediates it materializes
+    (23 MB f32 + 11.5 MB bf16 per cross layer at b32) cost more HBM
+    traffic than the VPU time saved — measured e2e 751 -> 1171 µs/step
+    (definitive negative, DESIGN.md §22)."""
+    import os
+    return int(os.environ.get("WHISPER_TPU_MXU_T", "0"))
 
 
 def decoder_step_ip(params: Params, cfg: WhisperConfig,
@@ -755,9 +792,43 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
             p = jax.nn.softmax(s, axis=-1)
             return jnp.einsum("bhts,bhsd->bthd", p, v.astype(f32),
                               precision=prec).astype(dtype)
-        s = jnp.einsum("bthd,bhsd->bhts", q, k,
-                       preferred_element_type=f32) * (D ** -0.5)
+        # bf16 cross formulation knob (trace-time env, same caveat as
+        # _loop_step_mode): 'bg' streams K/V through the batch-grouped
+        # Pallas decode kernel (decode_attention_bg) instead of the XLA
+        # einsums — the ip-step ablation put XLA's cross at ~642 µs/step
+        # vs a ~360 µs HBM floor at b32 (DESIGN.md §20 follow-up).
+        import os
+        ip_cross = os.environ.get("WHISPER_TPU_IP_CROSS", "xla")
+        bb = int(ip_cross[2:]) if ip_cross.startswith("bg") \
+            and len(ip_cross) > 2 else 8
+        if ip_cross.startswith("bg") and q.shape[0] % bb == 0 and (
+                jax.default_backend() == "tpu"
+                or cfg.attn_backend == "pallas_interpret"):
+            from whisper_tpu.ops.decode_attention import decode_attention_bg
+            return decode_attention_bg(
+                q.astype(dtype), k, v, None, block_b=bb,
+                interpret=cfg.attn_backend == "pallas_interpret"
+            ).astype(dtype)
+        # MXU query tiling: same trick as _self_attention_extra — T==1
+        # einsums lower as VPU convert+mul+reduce (compute-bound), T>=8
+        # lowers as an MXU dot (read-bound). WHISPER_TPU_MXU_T=0 opts out.
+        t8 = _mxu_query_tile()
+        B = q.shape[0]
+        if t8 > 1:
+            q8 = jnp.broadcast_to(q, (B, t8) + q.shape[2:])
+            s = jnp.einsum("bthd,bhsd->bhts", q8, k,
+                           preferred_element_type=f32
+                           )[:, :, :1] * (D ** -0.5)
+        else:
+            s = jnp.einsum("bthd,bhsd->bhts", q, k,
+                           preferred_element_type=f32) * (D ** -0.5)
         p = jax.nn.softmax(s, axis=-1)
+        if t8 > 1:
+            p8 = jnp.broadcast_to(p.astype(dtype),
+                                  p.shape[:2] + (t8, p.shape[-1]))
+            return jnp.einsum("bhts,bhsd->bthd", p8, v,
+                              preferred_element_type=f32
+                              )[:, :1].astype(dtype)
         return jnp.einsum("bhts,bhsd->bthd", p.astype(dtype), v,
                           preferred_element_type=f32).astype(dtype)
 

@@ -35,13 +35,14 @@ _BLK_S = 8  # sublane-aligned row block containing `pos` (Mosaic requires
 
 
 def _append_kernel(pos_ref, kn_ref, vn_ref, k_in, v_in, ko_ref, vo_ref):
-    # Each grid step owns one layer's (1, B, H, _BLK_S, D) cache block —
-    # the 8-row aligned window containing `pos`. Blend the new row in at
+    # ONE grid step owns all L layers' (L, B, H, _BLK_S, D) cache window —
+    # the 8-row aligned slab containing `pos` (all layers share the write
+    # position, so one DMA covers the step). Blend the new rows in at
     # sublane offset pos % _BLK_S via an iota select (Mosaic disallows
     # dynamic sublane stores on packed dtypes). The aliased cache buffers
-    # outside these blocks are untouched.
+    # outside this slab are untouched.
     p = pos_ref[0] % _BLK_S
-    shape = k_in.shape  # (1, B, H, _BLK_S, D)
+    shape = k_in.shape  # (L, B, H, _BLK_S, D)
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
     sel = rows == p
     ko_ref[...] = jnp.where(sel, jnp.broadcast_to(kn_ref[...], shape),
@@ -67,18 +68,18 @@ def cache_append_rows(cache_k: jax.Array, cache_v: jax.Array,
     k_new = k_new.reshape(L, B, H, 1, D)
     v_new = v_new.reshape(L, B, H, 1, D)
 
-    row_new = pl.BlockSpec((1, B, H, 1, D), lambda l, info: (l, 0, 0, 0, 0))
+    row_new = pl.BlockSpec((L, B, H, 1, D), lambda g, info: (0, 0, 0, 0, 0))
 
-    def window_at_pos(l, info):
-        return (l, 0, 0, info[0] // _BLK_S, 0)
+    def window_at_pos(g, info):
+        return (0, 0, 0, info[0] // _BLK_S, 0)
 
-    win_cache = pl.BlockSpec((1, B, H, _BLK_S, D), window_at_pos)
+    win_cache = pl.BlockSpec((L, B, H, _BLK_S, D), window_at_pos)
 
     out_k, out_v = pl.pallas_call(
         _append_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(L,),
+            grid=(1,),
             in_specs=[row_new, row_new, win_cache, win_cache],
             out_specs=[win_cache, win_cache],
         ),

@@ -135,6 +135,115 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _decode_kernel_bg(info_ref, q_ref, k_ref, v_ref, o_ref,
+                      m_s, l_s, acc_s, *, block_k: int, scale: float):
+    """Batch-grouped variant: one program per (batch-GROUP, kv-tile)
+    computes `bg` batch rows x all heads. Exists because the (B, tiles)
+    grid pays its fixed per-grid-step cost B x tiles times — measured
+    e2e-fatal at b32 (7.4 ms/step through the full dispatch, DESIGN.md
+    §20); grouping divides the step count by bg while keeping the VPU
+    mult-reduce formulation of _decode_kernel_bh.
+
+    q_ref: (bg, H, D); k_ref/v_ref: (bg, H, block_k, D); o_ref: (bg, H, D).
+    Scratch m_s/l_s: (bg, H, 1); acc_s: (bg, H, D)."""
+    j = pl.program_id(1)
+    kv_len = info_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, _MASK_VALUE)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(j * block_k < kv_len)
+    def _():
+        k_pos = (j * block_k
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, block_k), 2))
+        valid = k_pos < kv_len                           # (1, 1, bk)
+        qa = q_ref[...].astype(jnp.float32) * scale      # (bg, H, D)
+        ka = k_ref[...].astype(jnp.float32)              # (bg, H, bk, D)
+        va = v_ref[...].astype(jnp.float32)
+        s = jnp.sum(qa[:, :, None, :] * ka, axis=-1)     # (bg, H, bk)
+        s = jnp.where(valid, s, _MASK_VALUE)
+        m_prev, l_prev = m_s[...], l_s[...]              # (bg, H, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        m_s[...] = m_new
+        l_s[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_s[...] = (acc_s[...] * alpha
+                      + jnp.sum(p[..., None] * va, axis=2))  # (bg, H, D)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = (acc_s[...] / jnp.maximum(l_s[...], 1e-30)
+                      ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_k", "block_b", "interpret"))
+def decode_attention_bg(q: jax.Array, k: jax.Array, v: jax.Array,
+                        kv_len=None, *, block_k: int = 128,
+                        block_b: int = 8,
+                        interpret: bool = False) -> jax.Array:
+    """decode_attention over a (B/block_b, S_tiles) grid — block_b batch
+    rows x all heads per program. Same valid-prefix tile clamping as
+    decode_attention_bh (only ceil(kv_len/block_k) tiles move per group).
+
+    The decode-loop variant for LARGE batch: at b32 the (B, tiles) grid's
+    384 grid steps/call drown the 36.9 MB/layer cross read in per-step
+    overhead; (B/8, tiles) is 48. VMEM per step: 2 x block_b x H x
+    block_k x D x 2B (in, double-buffered) + fp32 score intermediate."""
+    B, T, H, D = q.shape
+    assert T == 1 and B % block_b == 0
+    S = k.shape[2]
+    if kv_len is None:
+        kv_len = S
+    scale = D ** -0.5
+    k = k.astype(q.dtype)
+    v = v.astype(q.dtype)
+
+    s_pad = _round_up(S, block_k)
+    if s_pad != S:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, s_pad - S), (0, 0)))
+    num_kv_tiles = s_pad // block_k
+
+    q3 = q[:, 0]                                     # (B, H, D)
+    info = jnp.asarray(kv_len, jnp.int32).reshape(1)
+
+    def kv_index(g, j, info_ref):
+        last = jnp.maximum(pl.cdiv(info_ref[0], block_k) - 1, 0)
+        return (g, 0, jnp.minimum(j, last), 0)
+
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_bg, block_k=block_k, scale=scale),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B // block_b, num_kv_tiles),
+            in_specs=[
+                pl.BlockSpec((block_b, H, D), lambda g, j, *_: (g, 0, 0)),
+                pl.BlockSpec((block_b, H, block_k, D), kv_index),
+                pl.BlockSpec((block_b, H, block_k, D), kv_index),
+            ],
+            out_specs=pl.BlockSpec((block_b, H, D),
+                                   lambda g, j, *_: (g, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_b, H, 1), jnp.float32),
+                pltpu.VMEM((block_b, H, 1), jnp.float32),
+                pltpu.VMEM((block_b, H, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(info, q3, k, v)
+
+    return out[:, None]                              # (B, 1, H, D)
+
+
 def _decode_kernel_bh(info_ref, q_ref, k_ref, v_ref, o_ref,
                       m_s, l_s, acc_s, *, block_k: int, scale: float,
                       n_heads: int, prec):
