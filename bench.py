@@ -99,9 +99,10 @@ def main() -> None:
     from whisper_tpu.models.whisper import encoder_forward, init_params
     from whisper_tpu.tokenizer import build_prompt
 
-    cfg = get_config("tiny").replace(compute_dtype=DTYPE, attn_backend=BACKEND,
-                                     kv_cache_quant=KV_QUANT,
-                                     cross_kv_quant=CROSS_QUANT)
+    model = os.environ.get("WHISPER_BENCH_MODEL", "tiny")
+    cfg = get_config(model).replace(compute_dtype=DTYPE, attn_backend=BACKEND,
+                                    kv_cache_quant=KV_QUANT,
+                                    cross_kv_quant=CROSS_QUANT)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if DTYPE == "bfloat16":
         from whisper_tpu.weights import to_device
@@ -217,7 +218,7 @@ def main() -> None:
     from whisper_tpu.utils.perf_model import workload_cost
     cost = workload_cost(cfg, BATCH, prompt.shape[1], GEN_TOKENS)
     print(json.dumps({
-        "metric": f"rtfx_per_chip_tiny_b{BATCH}_greedy89",
+        "metric": f"rtfx_per_chip_{model}_b{BATCH}_greedy89",
         "value": round(rtfx, 2),
         "unit": "audio_s_per_wall_s",
         "vs_baseline": round(rtfx / BASELINE_RTFX, 2),

@@ -76,11 +76,15 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=200)
     p.add_argument("--out", default=None)
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--only", default=None,
+                   help="comma list of variant-name substrings to run")
+    p.add_argument("--batches", default="8,32")
     args = p.parse_args()
 
     from whisper_tpu.ops.attention import mha_reference
     from whisper_tpu.ops.decode_attention import (
         decode_attention,
+        decode_attention_bg,
         decode_attention_bh,
     )
 
@@ -91,7 +95,7 @@ def main() -> None:
         ("cross_S1500", 1500, 1500),
     ]
     rows = []
-    for B in (8, 32):
+    for B in tuple(int(b) for b in args.batches.split(",")):
         for name, S, kv_len in shapes:
             key = jax.random.PRNGKey(0)
             kq, kk, kv = jax.random.split(key, 3)
@@ -109,6 +113,18 @@ def main() -> None:
                             q, k, v, kv_len, block_k=bk), bk=bk)
             variants["perhead_bk128"] = lambda q: decode_attention(
                 q, k, v, kv_len, block_k=128)
+            for bb in (4, 8, 16, 32):
+                if B % bb:
+                    continue
+                for bk in (128, 256):
+                    variants[f"bg_bb{bb}_bk{bk}"] = functools.partial(
+                        lambda q, bb, bk: decode_attention_bg(
+                            q, k, v, kv_len, block_b=bb, block_k=bk),
+                        bb=bb, bk=bk)
+            if args.only:
+                keys = args.only.split(",")
+                variants = {n: f for n, f in variants.items()
+                            if any(s in n for s in keys)}
             for vname, fn in variants.items():
                 us = timed_chain(fn, q0, args.iters) * 1e6
                 floor_us = bw_bytes / 819e9 * 1e6
