@@ -347,7 +347,20 @@ def main() -> None:
             y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"],
                            cfg.ln_eps)
             q, k_new, v_new = qkv_fused(y, lp["attn"], cfg.n_heads)
-            if "self" not in skip:
+            if "selfbg" in skip:
+                # TIMING-ONLY probe: self attention via the bg kernel over
+                # the strict prefix (kv_len=pos), WITHOUT the explicit
+                # current-token term — tokens are wrong, per-step cost is
+                # representative of a kernel-self formulation
+                from whisper_tpu.ops.decode_attention import (
+                    decode_attention_bg,
+                )
+                a = decode_attention_bg(q.astype(dtype),
+                                        cache_l["k"].astype(dtype),
+                                        cache_l["v"].astype(dtype),
+                                        pos, block_b=4).astype(dtype)
+                h = h + linear(merge_heads(a), lp["attn"]["o"])
+            elif "self" not in skip:
                 # cache part (strictly past tokens) + explicit self term
                 s_c = jnp.einsum("bthd,bhsd->bhts", q,
                                  cache_l["k"].astype(dtype),
@@ -486,6 +499,7 @@ def main() -> None:
         "abl_ip_nologits": lambda: make_inplace(frozenset({"logits"})),
         "abl_ip_nomlp": lambda: make_inplace(frozenset({"mlp"})),
         "abl_ip_noappend": lambda: make_inplace(frozenset({"append"})),
+        "abl_ip_selfbg": lambda: make_inplace(frozenset({"selfbg"})),
     }
     for v in args.variants.split(","):
         us, fixed = slope(variants[v]())
