@@ -174,6 +174,19 @@ def _loop_step_mode(cfg: WhisperConfig) -> str:
     return "t" if jnp.dtype(cfg.compute_dtype) == jnp.float32 else "ip"
 
 
+def _cache_slots(cfg: WhisperConfig, total: int) -> int:
+    """Self-cache slot count for a decode capped at `total` positions:
+    the step's self-attention reads every allocated slot (masked ones
+    included — XLA cannot skip them), so allocate only what this call can
+    reach, rounded to 64 for layout friendliness. The fused megakernel
+    keeps the full-context cache (its weight-streaming blocks were tuned
+    at n_text_ctx). Masked slots contribute exp(-inf) == 0.0 exactly, so
+    results are bit-identical to the full-size cache."""
+    if _fused_step_enabled(cfg):
+        return cfg.n_text_ctx
+    return min(cfg.n_text_ctx, -(-total // 64) * 64)
+
+
 def _greedy_prefill(params, cfg: WhisperConfig, enc_out, prompt, total: int,
                     use_t: bool = True):
     """Stage 1: cross-K/V precompute + prompt prefill (whisper.mojo:195-197).
@@ -184,7 +197,8 @@ def _greedy_prefill(params, cfg: WhisperConfig, enc_out, prompt, total: int,
     keeps the standard layout."""
     B, P = prompt.shape
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
-    cache = init_kv_cache(cfg, B, dtype=jnp.dtype(cfg.compute_dtype))
+    cache = init_kv_cache(cfg, B, dtype=jnp.dtype(cfg.compute_dtype),
+                          s_max=_cache_slots(cfg, total))
     tokens = jnp.full((B, total), jnp.int32(cfg.eot_token), dtype=jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
     logits, cache = decoder_forward(params, cfg, prompt, jnp.int32(0),
@@ -439,7 +453,8 @@ def _beam_prefill(params, cfg: WhisperConfig, enc_out, prompt,
     # replicate encoder state across beams: (L, B, ...) -> (L, B*W, ...)
     cross_kv = jax.tree.map(
         lambda x: jnp.repeat(x, W, axis=1), precompute_cross_kv(params, cfg, enc_out))
-    cache = init_kv_cache(cfg, B * W, dtype=jnp.dtype(cfg.compute_dtype))
+    cache = init_kv_cache(cfg, B * W, dtype=jnp.dtype(cfg.compute_dtype),
+                          s_max=_cache_slots(cfg, total))
     prompt_bw = jnp.repeat(prompt, W, axis=0)            # (BW, P)
     logits, cache = decoder_forward(params, cfg, prompt_bw, jnp.int32(0),
                                     cache, cross_kv)
@@ -670,7 +685,8 @@ def detect_language(params, cfg: WhisperConfig,
     """
     B = enc_out.shape[0]
     cross_kv = precompute_cross_kv(params, cfg, enc_out)
-    cache = init_kv_cache(cfg, B, dtype=jnp.dtype(cfg.compute_dtype))
+    cache = init_kv_cache(cfg, B, dtype=jnp.dtype(cfg.compute_dtype),
+                          s_max=_cache_slots(cfg, 1))
     sot = jnp.full((B, 1), cfg.sot_token, jnp.int32)
     logits, _ = decoder_forward(params, cfg, sot, jnp.int32(0),
                                 cache, cross_kv)

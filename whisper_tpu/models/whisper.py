@@ -343,15 +343,25 @@ def _cache_attention(q: jax.Array, entry: dict, kv_len, *,
 
 
 def init_kv_cache(cfg: WhisperConfig, batch: int,
-                  dtype=jnp.float32) -> dict[str, jax.Array]:
+                  dtype=jnp.float32,
+                  s_max: int | None = None) -> dict[str, jax.Array]:
     """Fixed-shape self-attention cache, head-major (replaces reference
     LayerCache's preallocated 448x384 buffers + current_len cursor,
     layers.mojo:14-52). Layout (L, B, H, S_max, Dh): per-head rows are
     contiguous, which is what the Pallas decode kernel streams from HBM.
 
+    s_max (default cfg.n_text_ctx) right-sizes the slot count: the decode
+    step's self-attention reads EVERY allocated slot each step (masked
+    slots are read-then-discarded — XLA cannot skip them), so a greedy
+    call that can only ever reach prompt+1+max_new positions should not
+    pay for 448. At the bench workload (93 live slots) this cuts the
+    per-step self-cache read 88 -> 25 MB at b32. Numerics are unchanged:
+    masked slots contribute exp(-inf)=0.0 exactly, so sums are identical.
+
     With cfg.kv_cache_quant the values are int8 with per-vector fp32 scales
     ({"k","k_s","v","v_s"})."""
-    shape = (cfg.n_text_layers, batch, cfg.n_heads, cfg.n_text_ctx, cfg.head_dim)
+    shape = (cfg.n_text_layers, batch, cfg.n_heads,
+             s_max or cfg.n_text_ctx, cfg.head_dim)
     if cfg.kv_cache_quant:
         sshape = shape[:-1] + (1,)
         return {"k": jnp.zeros(shape, jnp.int8),

@@ -68,24 +68,38 @@ def cache_append_rows(cache_k: jax.Array, cache_v: jax.Array,
     k_new = k_new.reshape(L, B, H, 1, D)
     v_new = v_new.reshape(L, B, H, 1, D)
 
-    row_new = pl.BlockSpec((L, B, H, 1, D), lambda g, info: (0, 0, 0, 0, 0))
+    # one grid step when the whole (L,B,H,8,D) slab fits in scoped VMEM
+    # (compiler accounting runs ~2x the naive 2-tensor in+out estimate:
+    # small b16 — L=12, H=12, 9.4 MB by the estimate — allocates 18 MB),
+    # else one step per layer; vmem limit raised so the single-DMA form
+    # serves every practical config
+    slab_bytes = 8 * L * B * H * _BLK_S * D * cache_k.dtype.itemsize
+    if slab_bytes <= 48 * 1024 * 1024:
+        lb, grid = L, (1,)
+    else:
+        lb, grid = 1, (L,)
+
+    row_new = pl.BlockSpec((lb, B, H, 1, D),
+                           lambda g, info: (g, 0, 0, 0, 0))
 
     def window_at_pos(g, info):
-        return (0, 0, 0, info[0] // _BLK_S, 0)
+        return (g, 0, 0, info[0] // _BLK_S, 0)
 
-    win_cache = pl.BlockSpec((L, B, H, _BLK_S, D), window_at_pos)
+    win_cache = pl.BlockSpec((lb, B, H, _BLK_S, D), window_at_pos)
 
     out_k, out_v = pl.pallas_call(
         _append_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(1,),
+            grid=grid,
             in_specs=[row_new, row_new, win_cache, win_cache],
             out_specs=[win_cache, win_cache],
         ),
         out_shape=[jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
                    jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype)],
         input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(pos_arr, k_new.astype(cache_k.dtype), v_new.astype(cache_v.dtype),
       cache_k, cache_v)
