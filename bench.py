@@ -72,12 +72,17 @@ def make_chained_runner(cfg, params, prompt, gen_tokens: int, G: int,
 
     total = prompt.shape[1] + gen_tokens
 
-    def stage1_one(a):
+    def stage1_one(p, a):
         mel = log_mel_spectrogram(a, cfg)
-        enc = encoder_forward(params, cfg, mel)
-        return _greedy_prefill(params, cfg, enc, prompt, total)
+        enc = encoder_forward(p, cfg, mel)
+        return _greedy_prefill(p, cfg, enc, prompt, total)
 
-    stage1_g = jax.jit(lambda ag: tuple(stage1_one(ag[i]) for i in range(G)))
+    # params MUST be an explicit argument: closed-over weights are embedded
+    # in the serialized program shipped to the remote AOT compiler — at
+    # small-bf16 that is a ~470 MB request body (HTTP 413 through the axon
+    # tunnel). As an argument they are just a parameter shape.
+    stage1_g = jax.jit(
+        lambda p, ag: tuple(stage1_one(p, ag[i]) for i in range(G)))
 
     def run(audio_g):
         # _jit_greedy_loop is the same jitted program the eager split path
@@ -86,7 +91,7 @@ def make_chained_runner(cfg, params, prompt, gen_tokens: int, G: int,
             _jit_greedy_loop(params, cfg, cross, cache, tokens, logits,
                              prompt, logit_bias, jax.random.PRNGKey(0),
                              opts=None, max_new=gen_tokens - 1)
-            for cross, cache, tokens, logits in stage1_g(audio_g)
+            for cross, cache, tokens, logits in stage1_g(params, audio_g)
         ]
 
     return run

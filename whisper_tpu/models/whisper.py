@@ -252,9 +252,15 @@ def _encoder_tail_mode(cfg: WhisperConfig, B: int, T: int) -> str:
         return "interpret"
     if env == "1" or backend == "pallas":
         return "pallas"
-    # auto: same size gate as flash, on real TPU only
+    # auto: same size gate as flash, on real TPU only; skip when no q-block
+    # of the fused program fits v5e VMEM (auto_block_q calibration —
+    # large-v3-turbo's d=1280 program measured 157.6 MB at bq=768)
+    from whisper_tpu.ops.encoder_layer import tail_fits_vmem
     if (backend == "auto" and jax.default_backend() == "tpu"
-            and B * cfg.n_heads * T * T * 4 >= _FLASH_MIN_SCORE_BYTES):
+            and B * cfg.n_heads * T * T * 4 >= _FLASH_MIN_SCORE_BYTES
+            and tail_fits_vmem(T, T, cfg.n_heads, cfg.d_model,
+                               4 * cfg.d_model,
+                               jnp.dtype(cfg.compute_dtype).itemsize)):
         return "pallas"
     return "off"
 

@@ -124,6 +124,53 @@ def _env_block(name: str, default: int) -> int:
     return int(os.environ.get(name, default))
 
 
+# Calibrated on the real v5e (bench_turbo r3): small d=768 bq=768 compiles
+# (estimate ~98 MB), large-v3-turbo d=1280 bq=768 FAILS at a measured
+# 157.6 MB program VMEM (73.8 MB of it register-allocator spill slots for
+# the fp32 MLP intermediates). The estimator mirrors the observed Mosaic
+# accounting: lane-padded double-buffered k/v windows + single-buffered
+# weights + a 2.5x fudge on the fp32 transient set (scores, GeLU
+# intermediate, residual copies) for spills.
+_VMEM_BUDGET = 110 * 1024 * 1024
+_BQ_CANDIDATES = (768, 512, 384, 256, 128)
+
+
+def _vmem_estimate(bq: int, s_pad: int, H: int, d: int, ff: int,
+                   isz: int) -> int:
+    Dp = _LANE
+    weights = (H * Dp * d + 2 * d * ff) * isz
+    kv_windows = 2 * H * s_pad * Dp * isz * 2      # 2-level buffering
+    q_window = H * bq * Dp * isz * 2
+    h_io = 2 * bq * d * isz * 2
+    af_scratch = bq * H * Dp * 4
+    transient_f32 = bq * s_pad * 4 + bq * ff * 4 + 3 * bq * d * 4
+    return (weights + kv_windows + q_window + h_io + af_scratch
+            + int(2.5 * transient_f32))
+
+
+def auto_block_q(T: int, S: int, H: int, d: int, ff: int, isz: int) -> int:
+    """Largest q-block whose estimated program VMEM fits the v5e budget.
+
+    768 stays the default through small (d<=768); medium drops to 512,
+    large/turbo (d=1280, ff=5120) to 256. Returns the smallest candidate
+    even when nothing fits (the mode gate should then choose 'off')."""
+    s_pad = _round_up(S, _LANE)
+    for bq in _BQ_CANDIDATES:
+        if bq > _round_up(T, 16):
+            continue
+        if _vmem_estimate(bq, s_pad, H, d, ff, isz) <= _VMEM_BUDGET:
+            return bq
+    return _BQ_CANDIDATES[-1]
+
+
+def tail_fits_vmem(T: int, S: int, H: int, d: int, ff: int,
+                   isz: int) -> bool:
+    """True when some q-block fits the VMEM budget (the auto-mode gate)."""
+    s_pad = _round_up(S, _LANE)
+    return any(_vmem_estimate(bq, s_pad, H, d, ff, isz) <= _VMEM_BUDGET
+               for bq in _BQ_CANDIDATES)
+
+
 @functools.partial(
     jax.jit, static_argnames=("eps", "block_q", "interpret"))
 def encoder_block_tail(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -153,7 +200,9 @@ def encoder_block_tail(q: jax.Array, k: jax.Array, v: jax.Array,
     dtype = h_in.dtype
     prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     if block_q is None:
-        block_q = _env_block("WHISPER_TPU_ENC_BQ", 768)
+        block_q = _env_block(
+            "WHISPER_TPU_ENC_BQ",
+            auto_block_q(T, S, H, d, ff, jnp.dtype(dtype).itemsize))
 
     qt = jnp.transpose(q, (0, 2, 1, 3))                   # (B, H, T, D)
     k = k.astype(dtype)
