@@ -13,11 +13,12 @@ weights (real checkpoints are unavailable offline; the compute is
 weight-value-independent since the step count is fixed).
 
 Headline config = the serving sweet spot measured on v5e: bfloat16, batch
-32, steady-state pipelined dispatch (r3: b32 7608 / b8 5455 RTFx steady,
-6279/3480 sync p50, after the fused encoder-block-tail kernel — DESIGN.md
-§15, §18; b64 regresses, §18). fp32 batch 8, the token-parity
-configuration, measured 1530 RTFx in r1; env knobs below select any
-variant (WHISPER_BENCH_PIPELINE=0 restores the sync-p50 headline).
+32, steady-state stage1-chained dispatch (r3: tiny b32 13,383 RTFx steady
+/ 9,370 sync-p50 at 63.3% SoL after the fused encoder tail + in-place
+cache append + right-sized self cache — DESIGN.md §15, §18-§20, §24).
+fp32 batch 8, the token-parity configuration, measured 1530 RTFx in r1;
+env knobs below select any variant (WHISPER_BENCH_PIPELINE=0 restores
+the sync-p50 headline, WHISPER_BENCH_MODEL sweeps the family).
 """
 
 from __future__ import annotations
@@ -185,8 +186,19 @@ def main() -> None:
     # Chained dispatch (DESIGN.md §19): G micro-batches' stage1 per program
     # (loops stay own-program) — divides the tunnel's per-program fixed
     # cost by ~2x on top of the async pipelining. WHISPER_BENCH_CHAIN=0
-    # disables (G=8 is the measured default).
+    # disables (G=8 is the measured default). G is clamped so the G live
+    # stage1 outputs fit HBM: the dominant term is the precomputed cross-KV
+    # (L_dec x B x H x 1500 x D x2 tensors); small-bf16 at G=8 holds
+    # 8 x 1.77 GB of cross-KV -> RESOURCE_EXHAUSTED on the 16 GB chip.
     G = int(os.environ.get("WHISPER_BENCH_CHAIN", "8"))
+    itemsize = 2 if DTYPE == "bfloat16" else 4
+    per_ub = (2 * cfg.n_text_layers * BATCH * cfg.n_heads * cfg.n_audio_ctx
+              * (cfg.d_model // cfg.n_heads) * itemsize        # cross k+v
+              + BATCH * cfg.n_audio_ctx * cfg.d_model * itemsize  # enc out
+              + BATCH * cfg.n_samples * 4)                     # audio f32
+    # 10 GiB budget, calibrated: turbo G=8 holds 8.7 GB of outputs next to
+    # 1.6 GB of weights and runs; small G=8's 14.2 GB does not.
+    G = max(1, min(G, (10 << 30) // per_ub))
     if G > 1:
         chained = make_chained_runner(cfg, params, prompt, GEN_TOKENS, G,
                                       logit_bias=bias)

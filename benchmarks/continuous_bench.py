@@ -1,0 +1,94 @@
+"""Continuous-batching engine throughput on the real chip.
+
+Measures the serving centerpiece end-to-end: N requests arrive in waves,
+join the slot engine at token granularity, and are harvested as they
+finish. Reports sustained generated tokens/s and effective audio RTFx.
+
+Knobs (env):
+  CONT_SLOTS       engine slots / lockstep batch rows   (default 16)
+  CONT_REQUESTS    total requests                       (default 64)
+  CONT_MAX_NEW     generated tokens per request         (default 48)
+  CONT_SYNC_EVERY  device steps per host readback       (default 8)
+  WHISPER_BENCH_MODEL / WHISPER_BENCH_DTYPE as in bench.py
+
+A/B of interest: CONT_SYNC_EVERY=1 (token-granular harvest, one ~30 ms
+tunnel round-trip per token) vs 8/32 (pipelined dispatch). Random weights;
+compute is step-count-bound like bench.py (random-logit EOT within
+max_new steps is ~max_new/51865 per row — negligible).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def main() -> None:
+    from whisper_tpu.config import get_config
+    from whisper_tpu.models.whisper import init_params
+    from whisper_tpu.serving_continuous import ContinuousBatcher
+
+    model = os.environ.get("WHISPER_BENCH_MODEL", "tiny")
+    dtype = os.environ.get("WHISPER_BENCH_DTYPE", "bfloat16")
+    slots = int(os.environ.get("CONT_SLOTS", "16"))
+    n_req = int(os.environ.get("CONT_REQUESTS", "64"))
+    max_new = int(os.environ.get("CONT_MAX_NEW", "48"))
+    sync_every = int(os.environ.get("CONT_SYNC_EVERY", "8"))
+
+    cfg = get_config(model).replace(compute_dtype=dtype)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    if dtype == "bfloat16":
+        from whisper_tpu.weights import to_device
+        params = to_device(params, jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    t = np.arange(cfg.n_samples) / cfg.sample_rate
+    clips = [
+        (0.3 * np.sin(2 * np.pi * (180 + 25 * i) * t)
+         + 0.05 * rng.randn(cfg.n_samples)).astype(np.float32)
+        for i in range(min(n_req, 8))
+    ]
+
+    def drive(n: int) -> tuple[float, int]:
+        eng = ContinuousBatcher(params, cfg, max_slots=slots,
+                                max_new=max_new, sync_every=sync_every)
+        for i in range(n):
+            eng.submit(clips[i % len(clips)])
+        t0 = time.perf_counter()
+        out = eng.run_until_idle()
+        wall = time.perf_counter() - t0
+        gen = sum(len(ids) for ids in out.values()) - n * 4  # minus prompts
+        assert len(out) == n
+        return wall, gen
+
+    drive(slots)                         # warmup: compiles fill+step+prefill
+    wall, gen = drive(n_req)
+
+    audio_s = n_req * cfg.chunk_length_s
+    print(json.dumps({
+        "metric": f"continuous_rtfx_{model}_s{slots}_n{n_req}",
+        "value": round(audio_s / wall, 2),
+        "unit": "audio_s_per_wall_s",
+        "tokens_per_s": round(gen / wall, 1),
+        "wall_s": round(wall, 3),
+        "gen_tokens": gen,
+        "slots": slots,
+        "sync_every": sync_every,
+        "max_new": max_new,
+        "dtype": dtype,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

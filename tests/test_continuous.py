@@ -262,3 +262,20 @@ def test_int8_cache_continuous(nano):
     mine = crowd.submit(_audio(8))
     out = crowd.run_until_idle()
     assert out[mine] == ref
+
+
+def test_sync_every_batched_drive_matches_token_granularity(nano):
+    """sync_every=K>1 pipelines K device steps per host readback; results
+    must be identical to the K=1 drive (finished rows idle between
+    harvests; slot refill just happens at K-step granularity)."""
+    cfg, params = nano
+    ref_eng = ContinuousBatcher(params, cfg, max_slots=2, max_new=6)
+    rids = [ref_eng.submit(_audio(s)) for s in (7, 8, 9)]
+    ref = ref_eng.run_until_idle()
+
+    k_eng = ContinuousBatcher(params, cfg, max_slots=2, max_new=6,
+                              sync_every=5)
+    krids = [k_eng.submit(_audio(s)) for s in (7, 8, 9)]
+    out = k_eng.run_until_idle()
+    for a, b in zip(rids, krids):
+        assert ref[a] == out[b]

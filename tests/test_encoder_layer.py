@@ -85,3 +85,28 @@ def test_fused_encoder_forward_matches_reference(small_cfg):
     ref = np.asarray(encoder_forward(params, cfg_ref, mel))
     out = np.asarray(encoder_forward(params, cfg_pl, mel))
     np.testing.assert_allclose(out, ref, atol=5e-4, rtol=1e-4)
+
+
+def test_auto_block_q_family_calibration():
+    """Width-aware q-block selection (r3 family sweep): d=1280 at bq=768
+    measured 157.6 MB of program VMEM on the v5e (OOM at 128 MB); small
+    at bq=768 compiles. The estimator must keep both facts true."""
+    from whisper_tpu.config import get_config
+    from whisper_tpu.ops.encoder_layer import (
+        _vmem_estimate,
+        auto_block_q,
+        tail_fits_vmem,
+    )
+    expect = {"tiny": 768, "base": 768, "small": 768,
+              "medium": 512, "large-v3-turbo": 256, "large-v2": 256}
+    for name, bq in expect.items():
+        c = get_config(name)
+        got = auto_block_q(c.n_audio_ctx, c.n_audio_ctx, c.n_heads,
+                           c.d_model, 4 * c.d_model, 2)
+        assert got == bq, (name, got)
+        assert tail_fits_vmem(c.n_audio_ctx, c.n_audio_ctx, c.n_heads,
+                              c.d_model, 4 * c.d_model, 2)
+    # the known-bad point stays above the budget
+    assert _vmem_estimate(768, 1536, 20, 1280, 5120, 2) > 110 * 2**20
+    # short inputs: block never exceeds the (rounded) sequence
+    assert auto_block_q(50, 50, 2, 64, 256, 4) <= 128

@@ -320,7 +320,13 @@ class ContinuousEngine:
             if busy:
                 try:
                     with self._lock:
-                        self._b.step()
+                        # sync_every>1: enqueue K device steps per host
+                        # readback so dispatch pipelines (the tunnel's
+                        # ~30 ms round-trip overlaps compute); streaming
+                        # latency grows by <=K tokens
+                        for _ in range(getattr(self._b, "sync_every", 1)):
+                            self._b.step_device()
+                        self._b.sync()
                 except Exception as e:     # engine fault: fail the pending
                     with self._lock:      # requests, keep the pump alive
                         for fut in self._pending:
@@ -391,6 +397,9 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--max-batch", type=int, default=8)
     p.add_argument("--max-wait-ms", type=float, default=10.0)
     p.add_argument("--max-new", type=int, default=None)
+    p.add_argument("--sync-every", type=int, default=1,
+                   help="continuous engine: device steps per host readback "
+                        "(>1 pipelines dispatch; +K tokens stream latency)")
     p.add_argument("--engine", choices=["dynamic", "continuous"],
                    default="dynamic",
                    help="dynamic: whole-request batches (serving.py); "
@@ -415,7 +424,8 @@ def main(argv: Optional[list] = None) -> int:
         from whisper_tpu.serving_continuous import ContinuousBatcher
         bt = ContinuousEngine(ContinuousBatcher(
             pipe.params, pipe.cfg, max_slots=args.max_batch,
-            max_new=args.max_new, tokenizer=pipe.tokenizer))
+            max_new=args.max_new, tokenizer=pipe.tokenizer,
+            sync_every=args.sync_every))
     else:
         bt = BatchedTranscriber(pipe.params, pipe.cfg, pipe.tokenizer,
                                 max_batch=args.max_batch,

@@ -154,12 +154,20 @@ class ContinuousBatcher:
     def __init__(self, params, cfg: WhisperConfig | str, max_slots: int = 8,
                  max_new: Optional[int] = None,
                  tokenizer: Optional[Tokenizer] = None,
-                 opts: Optional[DecodeOptions] = None):
+                 opts: Optional[DecodeOptions] = None,
+                 sync_every: int = 1):
         self.cfg = get_config(cfg) if isinstance(cfg, str) else cfg
         self.params = params
         self.tokenizer = tokenizer or Tokenizer(config=self.cfg)
         self.B = int(max_slots)
         self.opts = opts
+        # device steps per host sync (pos/finished readback). 1 = harvest
+        # and stream at token granularity. >1 enqueues K steps back-to-back
+        # before reading state — JAX async dispatch then overlaps the
+        # host<->device round-trip (~30 ms through the axon tunnel) with
+        # on-chip compute, at the cost of up to K-1 idle steps for rows
+        # that finish mid-window and +K tokens of streaming latency.
+        self.sync_every = max(1, int(sync_every))
         cfg = self.cfg
         self._timestamps = bool(opts and opts.timestamps)
         self.base_p = len(build_prompt(cfg, timestamps=self._timestamps))
@@ -270,8 +278,18 @@ class ContinuousBatcher:
             lang_probs = np.asarray(detect_language(self.params, cfg, enc))
         cross = precompute_cross_kv(self.params, cfg, enc)   # (L, B, H, S, D)
 
+        # One batched update per state field (NOT one per request): every
+        # .at[].set is a separate dispatch, and through the axon tunnel a
+        # dispatch costs ~30 ms — the per-request spelling made a 4-arrival
+        # slot-fill ~40 round-trips. Host-side numpy staging + a single
+        # scatter per field (and per cross leaf) makes fill cost flat in
+        # the arrival count.
         s = self.state
         prompts = []
+        rows_np = np.zeros((len(take), self.total), np.int32)
+        pos_v = np.zeros((len(take),), np.int32)
+        cap_v = np.zeros((len(take),), np.int32)
+        seed_v = np.zeros((len(take),), np.uint32)
         for i, (rid, _, (language, task), cb, on_tok, seed,
                 prev) in enumerate(take):
             b = free[i]
@@ -282,26 +300,30 @@ class ContinuousBatcher:
                                   prev_tokens=prev)
             P = len(prompt)
             prompts.append(prompt)
-            row = np.full((self.total,), cfg.eot_token, np.int32)
-            row[:P] = prompt
-            s = {
-                **s,
-                "tokens": s["tokens"].at[b].set(jnp.asarray(row)),
-                # batched prefill fills cache cols [0, P); the first engine
-                # step recomputes position P-1 (idempotent) and emits the
-                # first generated token
-                "pos": s["pos"].at[b].set(P),
-                "forced_len": s["forced_len"].at[b].set(P),
-                "cap": s["cap"].at[b].set(
-                    min(self.total, P + 1 + self.max_new)),
-                "active": s["active"].at[b].set(True),
-                "finished": s["finished"].at[b].set(False),
-                "seed": s["seed"].at[b].set(jnp.uint32(seed)),
-                "cross": jax.tree.map(
-                    lambda a, n, i=i: a.at[:, b].set(n[:, i].astype(a.dtype)),
-                    s["cross"], cross),
-            }
+            rows_np[i] = cfg.eot_token
+            rows_np[i, :P] = prompt
+            # batched prefill fills cache cols [0, P); the first engine
+            # step recomputes position P-1 (idempotent) and emits the
+            # first generated token
+            pos_v[i] = P
+            cap_v[i] = min(self.total, P + 1 + self.max_new)
+            seed_v[i] = np.uint32(seed)
             self._slots[b] = _Slot(rid, cb, on_tok, emitted=P)
+        idx = jnp.asarray(free[:len(take)], jnp.int32)
+        src = jnp.arange(len(take))
+        s = {
+            **s,
+            "tokens": s["tokens"].at[idx].set(jnp.asarray(rows_np)),
+            "pos": s["pos"].at[idx].set(jnp.asarray(pos_v)),
+            "forced_len": s["forced_len"].at[idx].set(jnp.asarray(pos_v)),
+            "cap": s["cap"].at[idx].set(jnp.asarray(cap_v)),
+            "active": s["active"].at[idx].set(True),
+            "finished": s["finished"].at[idx].set(False),
+            "seed": s["seed"].at[idx].set(jnp.asarray(seed_v)),
+            "cross": jax.tree.map(
+                lambda a, n: a.at[:, idx].set(n[:, src].astype(a.dtype)),
+                s["cross"], cross),
+        }
 
         # ---- one batched prefill for every joining row ----
         p_max = max(len(p) for p in prompts)
@@ -352,21 +374,36 @@ class ContinuousBatcher:
                  "finished": s["finished"].at[b].set(False)}
         self.state = s
 
-    def step(self) -> None:
-        """Fill slots, run one lockstep token, stream, harvest EOTs."""
+    def step_device(self) -> None:
+        """Fill slots and enqueue one lockstep token — no host sync."""
         self._fill_free_slots()
         self.state = _engine_step(self.params, self.cfg, self.state,
                                   self.opts)
+
+    def sync(self) -> None:
+        """Read back device state: stream new tokens, harvest EOTs."""
         self._stream()
         self._harvest()
 
+    def step(self) -> None:
+        """Fill slots, run one lockstep token, stream, harvest EOTs."""
+        self.step_device()
+        self.sync()
+
     def run_until_idle(self, max_steps: int = 100_000) -> dict[int, list[int]]:
-        """Drive until queue and slots are empty; returns {request_id: ids}."""
+        """Drive until queue and slots are empty; returns {request_id: ids}.
+
+        With sync_every=K>1, K device steps are enqueued per host readback
+        so dispatch pipelines (see __init__); token results are identical —
+        finished rows idle (finished gates pos) until the next harvest."""
         steps = 0
+        k = self.sync_every
         while (self._queue or any(s is not None for s in self._slots)) \
                 and steps < max_steps:
-            self.step()
-            steps += 1
+            for _ in range(min(k, max_steps - steps)):
+                self.step_device()
+                steps += 1
+            self.sync()
         return dict(self._results)
 
     def decode_text(self, rid: int) -> str:
