@@ -192,8 +192,11 @@ def main() -> None:
     # 8 x 1.77 GB of cross-KV -> RESOURCE_EXHAUSTED on the 16 GB chip.
     G = int(os.environ.get("WHISPER_BENCH_CHAIN", "8"))
     itemsize = 2 if DTYPE == "bfloat16" else 4
-    per_ub = (2 * cfg.n_text_layers * BATCH * cfg.n_heads * cfg.n_audio_ctx
-              * (cfg.d_model // cfg.n_heads) * itemsize        # cross k+v
+    ckv_elems = (2 * cfg.n_text_layers * BATCH * cfg.n_heads
+                 * cfg.n_audio_ctx * (cfg.d_model // cfg.n_heads))
+    cross_bytes = (ckv_elems + ckv_elems * 4 // (cfg.d_model // cfg.n_heads)
+                   if CROSS_QUANT else ckv_elems * itemsize)  # int8 + scales
+    per_ub = (cross_bytes
               + BATCH * cfg.n_audio_ctx * cfg.d_model * itemsize  # enc out
               + BATCH * cfg.n_samples * 4)                     # audio f32
     # 10 GiB budget, calibrated: turbo G=8 holds 8.7 GB of outputs next to
@@ -206,7 +209,12 @@ def main() -> None:
             audio, (G,) + audio.shape).copy())
         for r in chained(audio_g):                     # warmup/compile
             r.tokens.block_until_ready()
+        # Enqueued executions allocate their output buffers immediately:
+        # k_outer chained programs hold k_outer*G micro-batches of stage1
+        # outputs live at once. Clamp the total in-flight footprint (the
+        # unclamped medium run held ~20 GB of cross-KV: OOM).
         k_outer = max(K // G, 2)
+        k_outer = max(1, min(k_outer, (12 << 30) // (per_ub * G)))
         # first measurement immediately after a fresh ~10-min compile has
         # once produced a physically impossible wall (blocks returning
         # instantly); re-measure until the number is plausible vs the sync

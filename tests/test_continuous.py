@@ -217,7 +217,7 @@ def test_long_prompt_joins_in_constant_steps(nano):
     assert rid in eng._results
     ids = eng._results[rid]
     # prompt echoed: <|startofprev|> + prev + SOT prompt
-    assert ids[0] == cfg.sot_token + 3
+    assert ids[0] == cfg.sot_prev_token
     assert ids[1:6] == prev[:5]
     # O(1) join: steps bounded by first-token + max_new + slack, NOT ~200
     assert steps <= 10, steps

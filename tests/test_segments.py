@@ -38,7 +38,7 @@ def test_build_prompt_with_prev_tokens(tiny_cfg):
     cfg = tiny_cfg
     prev = (100, 200, 300)
     ids = build_prompt(cfg, "en", "transcribe", prev_tokens=prev)
-    assert ids[0] == cfg.sot_token + 3          # <|startofprev|>
+    assert ids[0] == cfg.sot_prev_token == 50361  # <|startofprev|>
     assert tuple(ids[1:4]) == prev
     assert ids[4] == cfg.sot_token
     # tail matches the reference's hardcoded prompt (whisper.mojo:188-191)

@@ -111,6 +111,13 @@ class WhisperConfig:
         return self.translate_token + 1                      # 50359
 
     @property
+    def sot_prev_token(self) -> int:
+        """<|startofprev|> — prefixes previous-window conditioning text.
+        50361 in the v2 vocab (assets/vocab.txt line 50362), 50362 for
+        large-v3 (the +1 language shift)."""
+        return self.transcribe_token + 2                     # 50361
+
+    @property
     def no_speech_token(self) -> int:
         """<|nospeech|>/<|nocaptions|> — its prefill probability at the SOT
         position is the openai/whisper silence signal."""

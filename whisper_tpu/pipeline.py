@@ -185,6 +185,18 @@ class WhisperPipeline:
                     and avg_lp >= LOGPROB_THRESHOLD):
                 break
         t2 = time.perf_counter()
+        # Strip the <|startofprev|> region: DecodeResult.tokens spans the
+        # FULL buffer including the conditioning prefix, whose tokens are
+        # ordinary text — leaving them in duplicated the previous window's
+        # text into this window's text/segments/conditioning (long-form
+        # echo bug, r3). ids starts at SOT after this.
+        sot_off = 0
+        if prev_tokens and ids:
+            try:
+                sot_off = ids.index(cfg.sot_token)
+            except ValueError:
+                sot_off = 0
+            ids = ids[sot_off:]
         # silence gate (openai semantics): confident no-speech AND
         # low-confidence text => drop the window's text
         if (no_speech_threshold is not None
@@ -202,7 +214,7 @@ class WhisperPipeline:
             words = _align(self.params, cfg, self.tokenizer, ids, enc_out,
                            audio_seconds=max(secs, 1.0),
                            alignment_heads=self.alignment_heads,
-                           prompt_len=prompt.shape[1])
+                           prompt_len=prompt.shape[1] - sot_off)
             for w in words:
                 w.start += window_offset_s
                 w.end += window_offset_s

@@ -314,7 +314,9 @@ def build_prompt(cfg: WhisperConfig, language: str = "en",
     (reference whisper.mojo:188-191)."""
     ids: list[int] = []
     if prev_tokens:
-        ids.append(cfg.sot_token + 3)  # <|startofprev|>
+        # NOT sot_token + 3 (= 50261, a LANGUAGE token): <|startofprev|>
+        # sits after the task tokens at 50361 (assets/vocab.txt)
+        ids.append(cfg.sot_prev_token)
         ids.extend(int(t) for t in prev_tokens)
     ids.append(cfg.sot_token)
     if cfg.multilingual:
