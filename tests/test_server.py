@@ -193,3 +193,16 @@ def test_streaming_rejected_on_dynamic_engine(server):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 501
+
+
+def test_continuous_engine_longform_audio(continuous_server, small_cfg):
+    """Audio longer than one 30 s window routes through the long-form
+    driver (window-chained with prev conditioning) instead of being
+    silently truncated: the response carries BOTH windows' tokens."""
+    status, body = _post(continuous_server.port,
+                         "/v1/audio/transcriptions?language=en",
+                         _wav_bytes(seconds=31.0), "audio/wav")
+    assert status == 200
+    # long-form results are generated tokens across >=2 windows; the
+    # engine caps each window at max_new=4 so >4 tokens proves window 2 ran
+    assert len(body["tokens"]) > 4

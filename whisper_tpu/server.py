@@ -200,6 +200,8 @@ class ContinuousEngine:
 
     def __init__(self, batcher):
         import queue as _q
+
+        from whisper_tpu.serving_longform import LongFormDriver
         self._b = batcher
         self.max_batch = batcher.B
         self.max_wait_s = 0.0
@@ -207,6 +209,11 @@ class ContinuousEngine:
         self._wake = _q.Queue()
         self._pending: list = []          # futures not yet resolved
         self._closed = False
+        # audio > one 30 s window is chained through the long-form driver
+        # (window k+1 submitted at window k's harvest, prev-text
+        # conditioning) instead of being silently truncated; windows of
+        # long files interleave with short requests in the slot batch
+        self._lf = LongFormDriver(batcher, condition_on_previous=True)
         self._pump = threading.Thread(target=self._run, daemon=True)
         self._pump.start()
 
@@ -232,8 +239,19 @@ class ContinuousEngine:
                 text=self._b.tokenizer.decode(ids), tokens=ids,
                 queued_s=_t.perf_counter() - t0, batch_size=occupancy))
 
+        def done_lf(fid, res):
+            if fut.done():
+                return
+            occupancy = sum(s is not None for s in self._b._slots)
+            fut.set_result(_Result(
+                text=res.text, tokens=res.tokens,
+                queued_s=_t.perf_counter() - t0, batch_size=occupancy))
+
         with self._lock:
-            self._b.submit(audio, language, task, callback=done)
+            if len(audio) > self._b.cfg.n_samples:
+                self._lf.submit(audio, language, task, callback=done_lf)
+            else:
+                self._b.submit(audio, language, task, callback=done)
             self._pending.append(fut)
         self._wake.put(None)
         try:
@@ -266,9 +284,17 @@ class ContinuousEngine:
             if not fut.done():
                 fut.set_result(ids)
 
+        def done_lf(fid, res):
+            if not fut.done():
+                fut.set_result(res.tokens)
+
         with self._lock:
-            self._b.submit(audio, language, task, callback=done,
-                           on_token=on_token)
+            if len(audio) > self._b.cfg.n_samples:
+                self._lf.submit(audio, language, task, callback=done_lf,
+                                on_token=on_token)
+            else:
+                self._b.submit(audio, language, task, callback=done,
+                               on_token=on_token)
             self._pending.append(fut)      # pump faults fail this future
         self._wake.put(None)
         tok = self._b.tokenizer

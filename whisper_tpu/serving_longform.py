@@ -49,6 +49,8 @@ class _FileState:
     tokens: list = dataclasses.field(default_factory=list)
     segments: list = dataclasses.field(default_factory=list)
     done: bool = False
+    callback: Optional[object] = None    # callback(fid, LongFormResult)
+    on_token: Optional[object] = None    # on_token(fid, token_id)
 
 
 class LongFormDriver:
@@ -75,11 +77,17 @@ class LongFormDriver:
 
     # ---- client API ----
     def submit(self, audio: np.ndarray, language: str = "en",
-               task: str = "transcribe") -> int:
+               task: str = "transcribe", callback=None,
+               on_token=None) -> int:
+        """Queue a long file. `callback(fid, LongFormResult)` fires when
+        the final window is harvested (for server-style drivers that pump
+        the engine themselves instead of calling run()); `on_token(fid,
+        token_id)` streams each window's generated tokens as committed."""
         fid = self._next_fid
         self._next_fid += 1
         st = _FileState(np.asarray(audio, np.float32).reshape(-1),
-                        language, task)
+                        language, task, callback=callback,
+                        on_token=on_token)
         self._files[fid] = st
         self._advance(fid)               # submit the first window
         return fid
@@ -104,12 +112,17 @@ class LongFormDriver:
                 if len(chunk) < n:
                     break
                 continue
+            on_tok = None
+            if st.on_token is not None:
+                on_tok = (lambda _rid, tid, f=fid, cb=st.on_token:
+                          cb(f, tid))
             rid = self.b.submit(chunk, st.language, st.task,
                                 callback=self._on_window,
+                                on_token=on_tok,
                                 prev_tokens=list(st.prev))
             self._rid_to_fid[rid] = fid
             return
-        st.done = True
+        self._finish(fid)
 
     def _on_window(self, rid: int, ids: list) -> None:
         """Harvest one window: accumulate, compute seek/conditioning,
@@ -150,9 +163,15 @@ class LongFormDriver:
 
         st.seek += int(round(advance_s * cfg.sample_rate))
         if chunk_len < cfg.n_samples:
-            st.done = True               # that was the final window
+            self._finish(fid)            # that was the final window
             return
         self._advance(fid)
+
+    def _finish(self, fid: int) -> None:
+        st = self._files[fid]
+        st.done = True
+        if st.callback is not None:
+            st.callback(fid, self._result(st))
 
     def _result(self, st: _FileState) -> LongFormResult:
         return LongFormResult(text="".join(st.texts),
