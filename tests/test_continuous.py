@@ -180,15 +180,15 @@ def test_engine_fault_recovery(nano):
     cfg, params = nano
     b = ContinuousBatcher(params, cfg, max_slots=2, max_new=4)
     eng = ContinuousEngine(b)
-    real_step = b.step
+    real_step = b.step_device             # the pump's injection point
     fail = {"on": True}
 
-    def step():
+    def step_device(k=1):
         if fail["on"]:
             raise RuntimeError("poisoned step")
-        real_step()
+        real_step(k)
 
-    b.step = step
+    b.step_device = step_device
     try:
         with pytest.raises(RuntimeError, match="poisoned step"):
             eng.transcribe(_audio(0))

@@ -346,12 +346,11 @@ class ContinuousEngine:
             if busy:
                 try:
                     with self._lock:
-                        # sync_every>1: enqueue K device steps per host
-                        # readback so dispatch pipelines (the tunnel's
-                        # ~30 ms round-trip overlaps compute); streaming
-                        # latency grows by <=K tokens
-                        for _ in range(getattr(self._b, "sync_every", 1)):
-                            self._b.step_device()
+                        # sync_every>1: K tokens per program + one host
+                        # readback (the tunnel's ~30 ms round-trip is paid
+                        # once per K); streaming latency grows by <=K
+                        self._b.step_device(
+                            getattr(self._b, "sync_every", 1))
                         self._b.sync()
                 except Exception as e:     # engine fault: fail the pending
                     with self._lock:      # requests, keep the pump alive

@@ -69,10 +69,8 @@ def _prefill_join(params, cfg: WhisperConfig, cache, cross,
     return jax.tree.map(merge, cache, new_cache)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "opts"),
-                   donate_argnums=(2,))
-def _engine_step(params, cfg: WhisperConfig, state,
-                 opts: Optional[DecodeOptions] = None):
+def _engine_step_impl(params, cfg: WhisperConfig, state,
+                      opts: Optional[DecodeOptions] = None):
     """One lockstep token for every active slot.
 
     state: dict with
@@ -136,6 +134,25 @@ def _engine_step(params, cfg: WhisperConfig, state,
 
     return {**state, "tokens": tokens, "pos": pos, "finished": finished,
             "cache": cache}
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "opts", "k"),
+                   donate_argnums=(2,))
+def _engine_step(params, cfg: WhisperConfig, state,
+                 opts: Optional[DecodeOptions] = None, k: int = 1):
+    """k lockstep tokens in ONE program (lax.scan over the step body).
+
+    One dispatch + one eventual host readback per k tokens instead of
+    per token — the engine-side version of the §13 own-program decode
+    loop. Math is identical to k sequential single-step programs (the
+    per-slot RNG folds on pos, the EOT/cap logic is per-row state);
+    finished rows idle inside the window exactly as they do between
+    host syncs. k is static: one compile per distinct value."""
+    if k == 1:
+        return _engine_step_impl(params, cfg, state, opts)
+    return jax.lax.scan(
+        lambda s, _: (_engine_step_impl(params, cfg, s, opts), None),
+        state, None, length=k)[0]
 
 
 @dataclasses.dataclass
@@ -374,11 +391,12 @@ class ContinuousBatcher:
                  "finished": s["finished"].at[b].set(False)}
         self.state = s
 
-    def step_device(self) -> None:
-        """Fill slots and enqueue one lockstep token — no host sync."""
+    def step_device(self, k: int = 1) -> None:
+        """Fill slots and enqueue k lockstep tokens (ONE program) — no
+        host sync."""
         self._fill_free_slots()
         self.state = _engine_step(self.params, self.cfg, self.state,
-                                  self.opts)
+                                  self.opts, k=k)
 
     def sync(self) -> None:
         """Read back device state: stream new tokens, harvest EOTs."""
@@ -400,9 +418,9 @@ class ContinuousBatcher:
         k = self.sync_every
         while (self._queue or any(s is not None for s in self._slots)) \
                 and steps < max_steps:
-            for _ in range(min(k, max_steps - steps)):
-                self.step_device()
-                steps += 1
+            kk = min(k, max_steps - steps)
+            self.step_device(kk)         # kk tokens, one program
+            steps += kk
             self.sync()
         return dict(self._results)
 
