@@ -199,9 +199,15 @@ def main() -> None:
     per_ub = (cross_bytes
               + BATCH * cfg.n_audio_ctx * cfg.d_model * itemsize  # enc out
               + BATCH * cfg.n_samples * 4)                     # audio f32
-    # 10 GiB budget, calibrated: turbo G=8 holds 8.7 GB of outputs next to
-    # 1.6 GB of weights and runs; small G=8's 14.2 GB does not.
-    G = max(1, min(G, (10 << 30) // per_ub))
+    # HBM model, calibrated on the chip: G live micro-batches + resident
+    # weights + the running loop's cross-KV layout copies (~2x one
+    # micro-batch's cross: XLA transposes both k and v into the loop's
+    # preferred layout) must fit ~13.5 GiB of the 15.75 GiB chip.
+    # Reproduces every measured outcome: turbo G=8 runs (12.2 GB), small
+    # G=8 OOMs -> 5 runs, medium-b16 G=4 OOMs (15.6 GB) -> 3.
+    weight_bytes = sum(x.size for x in jax.tree.leaves(params)) * itemsize
+    hbm_avail = int(13.5 * (1 << 30)) - weight_bytes - 2 * cross_bytes
+    G = max(1, min(G, hbm_avail // per_ub))
     if G > 1:
         chained = make_chained_runner(cfg, params, prompt, GEN_TOKENS, G,
                                       logit_bias=bias)
@@ -214,7 +220,7 @@ def main() -> None:
         # outputs live at once. Clamp the total in-flight footprint (the
         # unclamped medium run held ~20 GB of cross-KV: OOM).
         k_outer = max(K // G, 2)
-        k_outer = max(1, min(k_outer, (12 << 30) // (per_ub * G)))
+        k_outer = max(1, min(k_outer, hbm_avail // (per_ub * G)))
         # first measurement immediately after a fresh ~10-min compile has
         # once produced a physically impossible wall (blocks returning
         # instantly); re-measure until the number is plausible vs the sync

@@ -346,11 +346,12 @@ class ContinuousEngine:
             if busy:
                 try:
                     with self._lock:
-                        # sync_every>1: K tokens per program + one host
-                        # readback (the tunnel's ~30 ms round-trip is paid
-                        # once per K); streaming latency grows by <=K
-                        self._b.step_device(
-                            getattr(self._b, "sync_every", 1))
+                        # sync_every>1: K pipelined single-step dispatches
+                        # per host readback (measured: the k-fused scan
+                        # program is ~40x slower per token — see
+                        # run_until_idle); streaming latency grows by <=K
+                        for _ in range(getattr(self._b, "sync_every", 1)):
+                            self._b.step_device()
                         self._b.sync()
                 except Exception as e:     # engine fault: fail the pending
                     with self._lock:      # requests, keep the pump alive

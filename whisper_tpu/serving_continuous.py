@@ -142,12 +142,17 @@ def _engine_step(params, cfg: WhisperConfig, state,
                  opts: Optional[DecodeOptions] = None, k: int = 1):
     """k lockstep tokens in ONE program (lax.scan over the step body).
 
-    One dispatch + one eventual host readback per k tokens instead of
-    per token — the engine-side version of the §13 own-program decode
-    loop. Math is identical to k sequential single-step programs (the
-    per-slot RNG folds on pos, the EOT/cap logic is per-row state);
-    finished rows idle inside the window exactly as they do between
-    host syncs. k is static: one compile per distinct value."""
+    Math is identical to k sequential single-step programs (the per-slot
+    RNG folds on pos, the EOT/cap logic is per-row state); finished rows
+    idle inside the window exactly as between host syncs. k is static.
+
+    MEASURED NEGATIVE as the default drive (v5e, tiny, 16 slots, 48 req):
+    sync8 scanned = 104 RTFx vs 431 for 8 pipelined single-step
+    dispatches + one sync — the step program loses its own-program
+    compilation quality inside the scan (same effect as DESIGN.md §13's
+    3x and §22's in-loop kernel losses). Kept for callers that must
+    bound host round-trips harder than throughput (k=1 is the default
+    everywhere)."""
     if k == 1:
         return _engine_step_impl(params, cfg, state, opts)
     return jax.lax.scan(
@@ -418,9 +423,15 @@ class ContinuousBatcher:
         k = self.sync_every
         while (self._queue or any(s is not None for s in self._slots)) \
                 and steps < max_steps:
-            kk = min(k, max_steps - steps)
-            self.step_device(kk)         # kk tokens, one program
-            steps += kk
+            # K single-step programs enqueued back-to-back, then one sync.
+            # NOT the k-fused scan program (step_device(k>1)): measured on
+            # the v5e, the scanned step runs ~40x slower per token than
+            # the same step dispatched as its own program (104 vs 431
+            # RTFx at sync8) — the §13/§22 own-program compilation effect;
+            # async dispatch already pipelines the per-program cost.
+            for _ in range(min(k, max_steps - steps)):
+                self.step_device()
+                steps += 1
             self.sync()
         return dict(self._results)
 
