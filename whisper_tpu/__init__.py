@@ -22,7 +22,8 @@ from whisper_tpu.config import WhisperConfig, CONFIGS, get_config
 
 __version__ = "0.2.0"
 __all__ = ["WhisperConfig", "CONFIGS", "get_config", "WhisperPipeline",
-           "BatchedTranscriber", "ContinuousBatcher", "ShardedPipeline",
+           "BatchedTranscriber", "ContinuousBatcher", "LongFormDriver",
+           "ShardedPipeline",
            "TranscriptionServer", "Tokenizer", "DecodeOptions",
            "__version__"]
 
@@ -32,6 +33,7 @@ _LAZY = {
     "BatchedTranscriber": ("whisper_tpu.serving", "BatchedTranscriber"),
     "ContinuousBatcher": ("whisper_tpu.serving_continuous",
                           "ContinuousBatcher"),
+    "LongFormDriver": ("whisper_tpu.serving_longform", "LongFormDriver"),
     "ShardedPipeline": ("whisper_tpu.parallel.inference", "ShardedPipeline"),
     "TranscriptionServer": ("whisper_tpu.server", "TranscriptionServer"),
     "Tokenizer": ("whisper_tpu.tokenizer", "Tokenizer"),
