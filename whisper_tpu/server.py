@@ -361,6 +361,14 @@ class ContinuousEngine:
                         self._pending.clear()
                         self._b._queue.clear()
                         self._reset_slots()
+                        # drop in-flight long-form chains too (their
+                        # futures are already failed; a fresh driver
+                        # avoids leaking dead per-file state)
+                        from whisper_tpu.serving_longform import (
+                            LongFormDriver,
+                        )
+                        self._lf = LongFormDriver(
+                            self._b, condition_on_previous=True)
                     time.sleep(0.05)       # no hot spin on persistent faults
             else:
                 try:                       # idle: sleep until a submit

@@ -139,7 +139,7 @@ class LongFormDriver:
         # (prompt length varies with prev conditioning; generated region
         # starts after the forced tokens, which the engine kept in ids)
         sot = ids.index(cfg.sot_token) if cfg.sot_token in ids else 0
-        gen_start = sot
+        gen_start = len(ids)             # all-specials window -> empty gen
         for i in range(sot, len(ids)):
             if ids[i] < cfg.eot_token or ids[i] >= cfg.timestamp_begin:
                 gen_start = i
