@@ -98,7 +98,7 @@ def test_auto_block_q_family_calibration():
         tail_fits_vmem,
     )
     expect = {"tiny": 768, "base": 768, "small": 768,
-              "medium": 512, "large-v3-turbo": 256, "large-v2": 256}
+              "medium": 512, "large-v3-turbo": 384, "large-v2": 384}
     for name, bq in expect.items():
         c = get_config(name)
         got = auto_block_q(c.n_audio_ctx, c.n_audio_ctx, c.n_heads,
@@ -107,6 +107,6 @@ def test_auto_block_q_family_calibration():
         assert tail_fits_vmem(c.n_audio_ctx, c.n_audio_ctx, c.n_heads,
                               c.d_model, 4 * c.d_model, 2)
     # the known-bad point stays above the budget
-    assert _vmem_estimate(768, 1536, 20, 1280, 5120, 2) > 110 * 2**20
+    assert _vmem_estimate(768, 1536, 20, 1280, 5120, 2) > 113 * 2**20
     # short inputs: block never exceeds the (rounded) sequence
     assert auto_block_q(50, 50, 2, 64, 256, 4) <= 128

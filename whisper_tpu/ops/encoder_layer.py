@@ -127,11 +127,13 @@ def _env_block(name: str, default: int) -> int:
 # Calibrated on the real v5e (bench_turbo r3): small d=768 bq=768 compiles
 # (estimate ~98 MB), large-v3-turbo d=1280 bq=768 FAILS at a measured
 # 157.6 MB program VMEM (73.8 MB of it register-allocator spill slots for
-# the fp32 MLP intermediates). The estimator mirrors the observed Mosaic
-# accounting: lane-padded double-buffered k/v windows + single-buffered
-# weights + a 2.5x fudge on the fp32 transient set (scores, GeLU
-# intermediate, residual copies) for spills.
-_VMEM_BUDGET = 110 * 1024 * 1024
+# the fp32 MLP intermediates), and d=1280 bq=384 (estimate 112 MB)
+# COMPILES AND WINS the turbo A/B (933 vs 920 RTFx at bq=256). The
+# estimator mirrors the observed Mosaic accounting: lane-padded
+# double-buffered k/v windows + single-buffered weights + a 2.5x fudge on
+# the fp32 transient set (scores, GeLU intermediate, residual copies) for
+# spills; the budget sits just above the measured-good 112 MB point.
+_VMEM_BUDGET = 113 * 1024 * 1024
 _BQ_CANDIDATES = (768, 512, 384, 256, 128)
 
 
