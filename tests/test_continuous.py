@@ -279,3 +279,20 @@ def test_sync_every_batched_drive_matches_token_granularity(nano):
     out = k_eng.run_until_idle()
     for a, b in zip(rids, krids):
         assert ref[a] == out[b]
+
+
+def test_scanned_multistep_matches_single_steps(nano):
+    """step_device(k>1) — the opt-in lax.scan drive — must produce the
+    same tokens as k single-step dispatches (it is OFF by default for
+    performance, DESIGN.md §26, but the math must stay identical)."""
+    cfg, params = nano
+    ref_eng = ContinuousBatcher(params, cfg, max_slots=2, max_new=6)
+    r0 = ref_eng.submit(_audio(21))
+    ref = ref_eng.run_until_idle()[r0]
+
+    eng = ContinuousBatcher(params, cfg, max_slots=2, max_new=6)
+    rid = eng.submit(_audio(21))
+    while any(s is not None for s in eng._slots) or eng._queue:
+        eng.step_device(3)               # 3 tokens per program
+        eng.sync()
+    assert eng._results[rid] == ref

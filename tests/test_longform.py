@@ -70,12 +70,13 @@ def test_conditioned_window_does_not_echo_prev_text(nano):
     assert r.text.startswith(solo_w1.text)
     assert r.text.count(solo_w1.text[:40]) == 1 if len(
         solo_w1.text) >= 40 else True
-    # conditioned windows still begin their token stream at SOT
+    # conditioned windows still begin their token stream at SOT, and the
+    # 3 tokens after each SOT are the forced specials (lang/task/
+    # notimestamps) — no prev-text tokens may sit in that region
     sots = [i for i, t in enumerate(r.tokens) if t == cfg.sot_token]
     assert len(sots) == 2
     for i in sots:
-        assert all(t >= cfg.eot_token or t >= cfg.timestamp_begin
-                   for t in r.tokens[i:i + 1])
+        assert all(t >= cfg.eot_token for t in r.tokens[i:i + 4])
 
 
 def test_longform_driver_matches_pipeline(nano):
@@ -112,3 +113,28 @@ def test_longform_driver_concurrent_files_are_isolated(nano):
             for seed in (11, 12)]
     out = drv.run()
     assert [out[f].text for f in fids] == solos
+
+
+def test_longform_tokens_contract_and_cancel(nano):
+    """Result tokens keep each window's SOT-onward region (same contract
+    as short requests: tokens[0] == SOT); cancel() stops the window
+    chain and retain_results=False prunes per-file state."""
+    cfg, params = nano
+    eng = ContinuousBatcher(params, cfg, max_slots=1, max_new=6)
+    drv = LongFormDriver(eng, retain_results=True)
+    fid = drv.submit(_audio(5, 2 * cfg.chunk_length_s))
+    out = drv.run()[fid]
+    assert out.tokens[0] == cfg.sot_token
+    assert out.tokens.count(cfg.sot_token) == out.windows == 2
+
+    # cancel after the first window: chain must stop at 1 window
+    eng2 = ContinuousBatcher(params, cfg, max_slots=1, max_new=6)
+    drv2 = LongFormDriver(eng2, retain_results=False)
+    seen = []
+    fid2 = drv2.submit(_audio(6, 2 * cfg.chunk_length_s),
+                       on_token=lambda f, t: (seen.append(t),
+                                              drv2.cancel(f)))
+    eng2.run_until_idle()
+    assert seen                           # first window produced tokens
+    assert fid2 not in drv2._files        # pruned after cancellation
+    assert not eng2._queue                # no second window submitted

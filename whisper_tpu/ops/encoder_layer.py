@@ -154,8 +154,9 @@ def auto_block_q(T: int, S: int, H: int, d: int, ff: int, isz: int) -> int:
     """Largest q-block whose estimated program VMEM fits the v5e budget.
 
     768 stays the default through small (d<=768); medium drops to 512,
-    large/turbo (d=1280, ff=5120) to 256. Returns the smallest candidate
-    even when nothing fits (the mode gate should then choose 'off')."""
+    large/turbo (d=1280, ff=5120) to 384 (the measured-fastest fitting
+    block there). Returns the smallest candidate even when nothing fits
+    (the mode gate should then choose 'off')."""
     s_pad = _round_up(S, _LANE)
     for bq in _BQ_CANDIDATES:
         if bq > _round_up(T, 16):

@@ -162,7 +162,23 @@ class WhisperPipeline:
         base = opts or DecodeOptions()
         temps = tuple(fallback_temperatures) or (base.temperature,)
 
+        def strip_prev(ids_full: list) -> tuple[list, int]:
+            """Drop the <|startofprev|> region: DecodeResult.tokens spans
+            the FULL buffer including the conditioning prefix, whose
+            tokens are ordinary text — leaving them in duplicated the
+            previous window's text into this window's text/segments/
+            conditioning AND diluted the compression-ratio fallback gate
+            (long-form echo bug, r3). Returns (ids from SOT, offset)."""
+            if not prev_tokens or not ids_full:
+                return ids_full, 0
+            try:
+                off = ids_full.index(cfg.sot_token)
+            except ValueError:
+                return ids_full, 0
+            return ids_full[off:], off
+
         ids: list[int] = []
+        sot_off = 0
         res = None
         for ti, temp in enumerate(temps):
             run_opts = base._replace(temperature=float(temp))
@@ -175,9 +191,11 @@ class WhisperPipeline:
                                       rng=rng)
             res.tokens.block_until_ready()
             n = int(res.lengths[0])
-            ids = np.asarray(res.tokens)[0, :n].tolist()
+            ids, sot_off = strip_prev(np.asarray(res.tokens)[0, :n].tolist())
             if len(temps) == 1:
                 break
+            # gate on THIS window's text only (prev echo would dilute the
+            # repetition signal compression_ratio measures)
             text = self.tokenizer.decode(ids)
             avg_lp = (float(res.avg_logprob(prompt.shape[1])[0])
                       if res.sum_logprobs is not None else 0.0)
@@ -185,18 +203,6 @@ class WhisperPipeline:
                     and avg_lp >= LOGPROB_THRESHOLD):
                 break
         t2 = time.perf_counter()
-        # Strip the <|startofprev|> region: DecodeResult.tokens spans the
-        # FULL buffer including the conditioning prefix, whose tokens are
-        # ordinary text — leaving them in duplicated the previous window's
-        # text into this window's text/segments/conditioning (long-form
-        # echo bug, r3). ids starts at SOT after this.
-        sot_off = 0
-        if prev_tokens and ids:
-            try:
-                sot_off = ids.index(cfg.sot_token)
-            except ValueError:
-                sot_off = 0
-            ids = ids[sot_off:]
         # silence gate (openai semantics): confident no-speech AND
         # low-confidence text => drop the window's text
         if (no_speech_threshold is not None

@@ -213,7 +213,8 @@ class ContinuousEngine:
         # (window k+1 submitted at window k's harvest, prev-text
         # conditioning) instead of being silently truncated; windows of
         # long files interleave with short requests in the slot batch
-        self._lf = LongFormDriver(batcher, condition_on_previous=True)
+        self._lf = LongFormDriver(batcher, condition_on_previous=True,
+                                  retain_results=False)
         self._pump = threading.Thread(target=self._run, daemon=True)
         self._pump.start()
 
@@ -247,9 +248,11 @@ class ContinuousEngine:
                 text=res.text, tokens=res.tokens,
                 queued_s=_t.perf_counter() - t0, batch_size=occupancy))
 
+        lf_fid = None
         with self._lock:
             if len(audio) > self._b.cfg.n_samples:
-                self._lf.submit(audio, language, task, callback=done_lf)
+                lf_fid = self._lf.submit(audio, language, task,
+                                         callback=done_lf)
             else:
                 self._b.submit(audio, language, task, callback=done)
             self._pending.append(fut)
@@ -260,6 +263,10 @@ class ContinuousEngine:
             with self._lock:
                 if fut in self._pending:
                     self._pending.remove(fut)
+                if lf_fid is not None and not fut.done():
+                    # timed out: stop chaining the abandoned file's
+                    # windows (they would occupy a slot forever)
+                    self._lf.cancel(lf_fid)
 
     def transcribe_stream(self, audio: np.ndarray, language: str = "en",
                           task: str = "transcribe"):
@@ -288,10 +295,12 @@ class ContinuousEngine:
             if not fut.done():
                 fut.set_result(res.tokens)
 
+        lf_fid = None
         with self._lock:
             if len(audio) > self._b.cfg.n_samples:
-                self._lf.submit(audio, language, task, callback=done_lf,
-                                on_token=on_token)
+                lf_fid = self._lf.submit(audio, language, task,
+                                         callback=done_lf,
+                                         on_token=on_token)
             else:
                 self._b.submit(audio, language, task, callback=done,
                                on_token=on_token)
@@ -321,6 +330,10 @@ class ContinuousEngine:
             with self._lock:
                 if fut in self._pending:
                     self._pending.remove(fut)
+                if lf_fid is not None and not fut.done():
+                    # client disconnected or timed out mid-stream: stop
+                    # chaining the abandoned file's windows
+                    self._lf.cancel(lf_fid)
 
     def _reset_slots(self):
         """Recover service after a step() fault: a poisoned in-flight slot
@@ -368,7 +381,8 @@ class ContinuousEngine:
                             LongFormDriver,
                         )
                         self._lf = LongFormDriver(
-                            self._b, condition_on_previous=True)
+                            self._b, condition_on_previous=True,
+                            retain_results=False)
                     time.sleep(0.05)       # no hot spin on persistent faults
             else:
                 try:                       # idle: sleep until a submit

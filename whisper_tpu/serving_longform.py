@@ -65,11 +65,16 @@ class LongFormDriver:
 
     def __init__(self, batcher: ContinuousBatcher,
                  condition_on_previous: bool = True,
-                 vad_threshold_db: Optional[float] = None):
+                 vad_threshold_db: Optional[float] = None,
+                 retain_results: bool = True):
         self.b = batcher
         self.cfg = batcher.cfg
         self.condition = condition_on_previous
         self.vad_db = vad_threshold_db
+        # retain_results=False prunes each _FileState at completion (the
+        # long-lived server mode: results are delivered via callback; an
+        # immortal driver must not retain every request's audio/tokens)
+        self.retain = retain_results
         self._use_seek = bool(batcher.opts and batcher.opts.timestamps)
         self._files: dict[int, _FileState] = {}
         self._next_fid = 0
@@ -96,6 +101,21 @@ class LongFormDriver:
         """Drive the engine until every submitted file is complete."""
         self.b.run_until_idle(max_steps=max_steps)
         return {fid: self._result(st) for fid, st in self._files.items()}
+
+    def cancel(self, fid: int) -> None:
+        """Stop chaining further windows of file fid (e.g. the client
+        timed out). The window currently decoding finishes normally —
+        slots cannot be aborted mid-decode — then the chain ends and the
+        file's state is dropped."""
+        st = self._files.get(fid)
+        if st is not None and not st.done:
+            st.done = True               # _on_window sees done: no chain
+            st.callback = None
+            st.on_token = None
+            if fid in self._files and not self.retain:
+                in_flight = fid in self._rid_to_fid.values()
+                if not in_flight:
+                    del self._files[fid]
 
     # ---- window chaining ----
     def _advance(self, fid: int) -> None:
@@ -130,7 +150,11 @@ class LongFormDriver:
         next submit lands in this very drive loop."""
         cfg = self.cfg
         fid = self._rid_to_fid.pop(rid)
-        st = self._files[fid]
+        st = self._files.get(fid)
+        if st is None or st.done:        # cancelled mid-flight: end chain
+            if st is not None and not self.retain:
+                self._files.pop(fid, None)
+            return
         offset_s = st.seek / cfg.sample_rate
         chunk_len = min(len(st.audio) - st.seek, cfg.n_samples)
         st.windows += 1
@@ -145,7 +169,10 @@ class LongFormDriver:
                 gen_start = i
                 break
         gen = [t for t in ids[gen_start:] if t != cfg.eot_token]
-        st.tokens.extend(gen)
+        # result tokens keep each window's SOT-onward region (prompt
+        # specials + generated), matching pipeline.transcribe and the
+        # short-request server contract: tokens[0] == SOT either way
+        st.tokens.extend(ids[sot:])
         text_ids = [t for t in gen if t < cfg.eot_token]
         st.texts.append(self.b.tokenizer.decode(text_ids))
 
@@ -170,8 +197,11 @@ class LongFormDriver:
     def _finish(self, fid: int) -> None:
         st = self._files[fid]
         st.done = True
+        st.audio = np.empty(0, np.float32)   # release the largest buffer
         if st.callback is not None:
             st.callback(fid, self._result(st))
+        if not self.retain:
+            del self._files[fid]
 
     def _result(self, st: _FileState) -> LongFormResult:
         return LongFormResult(text="".join(st.texts),
