@@ -92,3 +92,17 @@ def test_mixed_prompt_lengths_fail_loudly(server, monkeypatch):
     assert isinstance(ok.result(timeout=300).tokens, list)
     with pytest.raises(ValueError, match="prompt length"):
         odd.result(timeout=300)
+
+
+def test_long_audio_splits_into_windows(server):
+    """>30 s audio through the dynamic batcher is window-split and
+    joined in order, not silently truncated (r3; windows independent —
+    the conditioned path is the continuous engine's long-form driver)."""
+    cfg = server.cfg
+    rng = np.random.RandomState(3)
+    audio = (rng.randn(int(2.2 * cfg.n_samples)) * 0.1).astype(np.float32)
+    short = server.transcribe(audio[:cfg.n_samples])
+    full = server.transcribe(audio)
+    assert full.tokens[:len(short.tokens)] == short.tokens
+    assert full.tokens.count(cfg.sot_token) == 3     # 3 windows
+    assert full.text.startswith(short.text)

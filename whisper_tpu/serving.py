@@ -85,10 +85,41 @@ class BatchedTranscriber:
     # ---- client API ----
     def submit(self, audio: np.ndarray, language: str = "en",
                task: str = "transcribe") -> Future:
+        """Queue one request. Audio longer than a 30 s window is split
+        into per-window requests (each batches with whatever else
+        arrives) and the returned future joins them in order — NOT
+        silently truncated. Windows are independent (openai's
+        condition_on_previous_text=False mode); the continuous engine's
+        long-form driver is the conditioned path."""
         if self._closed:
             raise RuntimeError("transcriber is closed")
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        n = self.cfg.n_samples
+        if len(audio) <= n:
+            return self._submit_window(audio, language, task)
+        futs = [self._submit_window(audio[s:s + n], language, task)
+                for s in range(0, len(audio), n)]
+        out: Future = Future()
+
+        def join():
+            try:
+                rs = [f.result() for f in futs]
+                out.set_result(ServeResult(
+                    text="".join(r.text for r in rs),
+                    tokens=[t for r in rs for t in r.tokens],
+                    queued_s=max(r.queued_s for r in rs),
+                    batch_size=rs[0].batch_size))
+            except Exception as e:
+                if not out.done():
+                    out.set_exception(e)
+
+        threading.Thread(target=join, daemon=True).start()
+        return out
+
+    def _submit_window(self, audio: np.ndarray, language: str,
+                       task: str) -> Future:
         fut: Future = Future()
-        self._q.put(_Request(np.asarray(audio, np.float32), language, task,
+        self._q.put(_Request(audio, language, task,
                              fut, time.perf_counter()))
         return fut
 
