@@ -39,6 +39,7 @@ def main() -> None:
     ap.add_argument("--gen2", type=int, default=0,
                     help="second gen length; fits wall = fixed + gen*slope "
                          "to split per-program fixed cost from per-step cost")
+    ap.add_argument("--model", default="tiny")
     args = ap.parse_args()
     B, K = args.batch, args.k
 
@@ -49,7 +50,7 @@ def main() -> None:
     from whisper_tpu.tokenizer import build_prompt
     from whisper_tpu.weights import to_device
 
-    cfg = get_config("tiny").replace(compute_dtype="bfloat16")
+    cfg = get_config(args.model).replace(compute_dtype="bfloat16")
     params = to_device(init_params(cfg, jax.random.PRNGKey(0)), jnp.bfloat16)
     prompt = jnp.asarray(np.tile(build_prompt(cfg), (B, 1)), jnp.int32)
     total = prompt.shape[1] + args.gen
