@@ -60,11 +60,18 @@ def main() -> None:
     rng = np.random.RandomState(0)
     audio = jnp.asarray((rng.randn(B, cfg.n_samples) * 0.1).astype(np.float32))
 
+    # params as an explicit jit arg (NOT a closure): closed-over weights
+    # embed in the program shipped to the remote AOT compiler — medium's
+    # ~1.5 GB payload breaks the tunnel (same bug class as bench.py's
+    # chained runner, r3)
     @jax.jit
-    def stage1(audio):
+    def _stage1(params, audio):
         mel = log_mel_spectrogram(audio, cfg)
         enc = encoder_forward(params, cfg, mel)
         return _greedy_prefill(params, cfg, enc, prompt, total)
+
+    def stage1(audio):
+        return _stage1(params, audio)
 
     def loop(pre, gen=args.gen):
         cross, cache, tokens, logits = pre
