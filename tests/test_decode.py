@@ -142,3 +142,44 @@ def test_split_decode_optout_matches(small_cfg, monkeypatch):
                           max_new=4)
     assert (np.asarray(got.tokens) == np.asarray(ref.tokens)).all()
     assert got_b.tokens.shape[0] == 1
+
+
+def test_mxu_query_tiling_token_equality():
+    """The d_model>=768 bf16 default (MXU query tiling, DESIGN.md §27)
+    must produce the same greedy tokens as the straight T==1 form: the
+    tile broadcasts q to 8 identical rows and slices row 0 — identical
+    products, only accumulation grouping may differ (bf16 operand dots
+    accumulate exactly in fp32)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from whisper_tpu.config import get_config
+    from whisper_tpu.decode import transcribe_tokens
+    from whisper_tpu.models.whisper import init_params
+    from whisper_tpu.tokenizer import build_prompt
+    from whisper_tpu.weights import to_device
+
+    cfg = get_config("tiny").replace(
+        name="mxu-nano", d_model=768, n_heads=12,
+        n_audio_layers=1, n_text_layers=2,
+        n_audio_ctx=64, n_text_ctx=64, compute_dtype="bfloat16")
+    params = to_device(init_params(cfg, jax.random.PRNGKey(0)),
+                       jnp.bfloat16)
+    mel = jax.random.normal(jax.random.PRNGKey(1),
+                            (1, cfg.n_mels, 2 * cfg.n_audio_ctx)) * 0.3
+    prompt = jnp.asarray([build_prompt(cfg)], jnp.int32)
+
+    toks = {}
+    for tile in ("0", "8"):
+        os.environ["WHISPER_TPU_MXU_T"] = tile
+        jax.clear_caches()                 # knob is read at trace time
+        try:
+            r = transcribe_tokens(params, cfg, mel, prompt, max_new=6)
+            toks[tile] = np.asarray(r.tokens)[0, :int(r.lengths[0])].tolist()
+        finally:
+            del os.environ["WHISPER_TPU_MXU_T"]
+    jax.clear_caches()
+    assert toks["0"] == toks["8"]

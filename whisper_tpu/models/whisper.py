@@ -682,7 +682,7 @@ def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
         s_s = jnp.einsum("bthd,bhtd->bht", q.astype(f32) * (D ** -0.5),
                          k_new.astype(f32), precision=prec)[..., None]
     else:
-        t8 = _mxu_query_tile()
+        t8 = _mxu_query_tile(H * q.shape[-1])
         if t8 > 1:
             q8 = jnp.broadcast_to(q, (B, t8, H, q.shape[-1]))
             s_c = jnp.einsum("bthd,bhsd->bhts", q8, k_cache,
@@ -704,7 +704,7 @@ def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
         o = jnp.einsum("bhts,bhsd->bthd", p, v_cache.astype(f32),
                        precision=prec)
     else:
-        t8 = _mxu_query_tile()
+        t8 = _mxu_query_tile(H * q.shape[-1])
         if t8 > 1:
             p8 = jnp.broadcast_to(p.astype(dtype),
                                   p.shape[:2] + (t8, p.shape[-1]))
@@ -718,16 +718,19 @@ def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
     return o.astype(jnp.dtype(dtype))
 
 
-def _mxu_query_tile() -> int:
+def _mxu_query_tile(d_model: int) -> int:
     """Query-tile width for the T==1 decode contractions (bf16 only);
-    trace-time env knob WHISPER_TPU_MXU_T. Default 0 (OFF): tiling to
-    T=8 does flip XLA's lowering from VPU convert+mul+reduce to an MXU
-    dot, but the 8x-wide score/probability intermediates it materializes
-    (23 MB f32 + 11.5 MB bf16 per cross layer at b32) cost more HBM
-    traffic than the VPU time saved — measured e2e 751 -> 1171 µs/step
-    (definitive negative, DESIGN.md §22)."""
+    trace-time env knob WHISPER_TPU_MXU_T overrides. Width-aware default
+    (r3 family sweep, DESIGN.md §22/§27): tiling to T=8 flips XLA's
+    lowering from VPU convert+mul+reduce to an MXU dot. At tiny/base the
+    8x-wide score/probability intermediates cost more HBM than the VPU
+    time saved (tiny b32 751 -> 1171 µs/step; base b32 6301 -> 6022
+    RTFx), but the VPU term scales with L*H*S and from d_model=768 up
+    the tiling WINS big: small b32 1368 -> 1865 RTFx, medium b16 slope
+    8971 -> 6147 µs/step (460 -> 612 RTFx), large-v2 b8 234 -> 301."""
     import os
-    return int(os.environ.get("WHISPER_TPU_MXU_T", "0"))
+    default = 8 if d_model >= 768 else 0
+    return int(os.environ.get("WHISPER_TPU_MXU_T", str(default)))
 
 
 def decoder_step_ip(params: Params, cfg: WhisperConfig,
@@ -828,7 +831,7 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
         # MXU query tiling: same trick as _self_attention_extra — T==1
         # einsums lower as VPU convert+mul+reduce (compute-bound), T>=8
         # lowers as an MXU dot (read-bound). WHISPER_TPU_MXU_T=0 opts out.
-        t8 = _mxu_query_tile()
+        t8 = _mxu_query_tile(q.shape[2] * q.shape[3])
         B = q.shape[0]
         if t8 > 1:
             q8 = jnp.broadcast_to(q, (B, t8) + q.shape[2:])
