@@ -47,6 +47,7 @@ DTYPE = os.environ.get("WHISPER_BENCH_DTYPE", "bfloat16")
 BACKEND = os.environ.get("WHISPER_TPU_ATTN")     # None = auto
 KV_QUANT = os.environ.get("WHISPER_BENCH_KVQUANT", "0") == "1"
 CROSS_QUANT = os.environ.get("WHISPER_BENCH_CROSSQUANT", "0") == "1"
+WQ = os.environ.get("WHISPER_BENCH_WQ", "0") == "1"
 
 
 def make_chained_runner(cfg, params, prompt, gen_tokens: int, G: int,
@@ -108,11 +109,15 @@ def main() -> None:
     model = os.environ.get("WHISPER_BENCH_MODEL", "tiny")
     cfg = get_config(model).replace(compute_dtype=DTYPE, attn_backend=BACKEND,
                                     kv_cache_quant=KV_QUANT,
-                                    cross_kv_quant=CROSS_QUANT)
+                                    cross_kv_quant=CROSS_QUANT,
+                                    weight_quant=WQ)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if DTYPE == "bfloat16":
         from whisper_tpu.weights import to_device
         params = to_device(params, jnp.bfloat16)
+    if WQ:
+        from whisper_tpu.models.whisper import quantize_weights_wq
+        params = quantize_weights_wq(params, cfg)
     prompt = jnp.asarray(np.tile(build_prompt(cfg), (BATCH, 1)), jnp.int32)
 
     rng = np.random.RandomState(0)
@@ -205,7 +210,8 @@ def main() -> None:
     # preferred layout) must fit ~13.5 GiB of the 15.75 GiB chip.
     # Reproduces every measured outcome: turbo G=8 runs (12.2 GB), small
     # G=8 OOMs -> 5 runs, medium-b16 G=4 OOMs (15.6 GB) -> 3.
-    weight_bytes = sum(x.size for x in jax.tree.leaves(params)) * itemsize
+    weight_bytes = sum(x.size * x.dtype.itemsize
+                       for x in jax.tree.leaves(params))
     hbm_avail = int(13.5 * (1 << 30)) - weight_bytes - 2 * cross_bytes
     G = max(1, min(G, hbm_avail // per_ub))
     if G > 1:

@@ -75,6 +75,11 @@ def main(argv=None) -> int:
                    help="int8 CROSS cache only (self stays bf16): 2x "
                         "context per HBM byte; costs ~3x RTFx at tiny "
                         "(capacity feature — DESIGN.md §16)")
+    p.add_argument("--weight-quant", action="store_true",
+                   help="weight-only int8 on the decoder's per-step "
+                        "weights (bf16 mode only): the dequant fuses into "
+                        "the matmul reads — a LATENCY win at medium/large "
+                        "where weights are 0.8-1.6 GB/step (DESIGN.md §28)")
     p.add_argument("--seed", type=int, default=0, help="sampling seed")
     p.add_argument("--vad-db", type=float, default=None, metavar="DB",
                    help="energy VAD gate: skip 30 s windows whose frames "
@@ -97,6 +102,8 @@ def main(argv=None) -> int:
         cfg = cfg.replace(kv_cache_quant=True)
     if args.cross_kv_quant:
         cfg = cfg.replace(cross_kv_quant=True)
+    if args.weight_quant:
+        cfg = cfg.replace(weight_quant=True)
     if args.flat_bin:
         pipe = WhisperPipeline.from_flat_bin(args.flat_bin, cfg, args.vocab)
     elif args.weights:

@@ -57,6 +57,14 @@ class WhisperConfig:
     # launch-overhead-bound at Whisper sizes; DESIGN.md §16). Use for 2x
     # context/batch per HBM byte, never auto-engaged.
     cross_kv_quant: bool = False
+    # Weight-only int8 for the decoder's per-step-read weights (attn/MLP
+    # projections + tok_emb) with per-output-column scales, dequantized
+    # in-graph so XLA streams the int8 bytes from HBM (the `deq` form,
+    # benchmarks/wq_ab.py / DESIGN.md §28). Serving (bf16) mode only —
+    # a LATENCY feature at medium/large where per-step weight reads are
+    # 0.8-1.6 GB bf16. Engaged by WhisperPipeline at load; bench knob
+    # WHISPER_BENCH_WQ=1.
+    weight_quant: bool = False
     # Fused decoder-step megakernel (ops/decoder_step.py): one Pallas
     # program per greedy decode step instead of ~60 XLA fusions. None =
     # auto (currently OFF: token-identical on v5e but slower than the XLA

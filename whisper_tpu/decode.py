@@ -54,7 +54,10 @@ def _fused_step_enabled(cfg: WhisperConfig) -> bool:
     ignored for already-traced configs (same caveat as flash_attention's
     _env_block)."""
     import os
-    if cfg.kv_cache_quant or cfg.cross_kv_quant:
+    if cfg.kv_cache_quant or cfg.cross_kv_quant or cfg.weight_quant:
+        # the megakernel packs raw bf16 weight tensors (ops/decoder_step.py
+        # pack_decoder_weights) — int8 weight-quantized trees take the XLA
+        # step, whose in-graph dequant is the measured-winning form (§28)
         return False
     env = os.environ.get("WHISPER_TPU_FUSED")
     if env is not None:

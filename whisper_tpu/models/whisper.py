@@ -64,9 +64,25 @@ def gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+def _wq_dequant(p: Params, dtype) -> jax.Array:
+    """Effective weight of an int8 weight-quantized linear: values times the
+    per-output-column scale, materialized IN-GRAPH in the compute dtype.
+
+    This is the `deq` formulation measured in benchmarks/wq_ab.py
+    (DESIGN.md §28): XLA fuses the convert+scale into the consuming dot's
+    operand read, so the per-step HBM weight traffic is the int8 bytes —
+    the dequantized tensor is never written to HBM, and crucially XLA does
+    NOT hoist it out of the decode while_loop (measured d1024 L24: 321
+    µs/step vs the 492 µs bf16 weight-read floor; a hoisted bf16 copy
+    would pin the slope at the bf16 floor)."""
+    return p["w"].astype(dtype) * p["w_s"][..., None, :].astype(dtype)
+
+
 def linear(x: jax.Array, p: Params, precision=HIGHEST) -> jax.Array:
-    """x @ w + b with w stored (in, out)."""
-    return jnp.dot(x, p["w"], precision=precision) + p["b"]
+    """x @ w + b with w stored (in, out); int8 weight-quantized linears
+    ({"w": int8, "w_s": per-out-column scale}) dequantize in-graph."""
+    w = _wq_dequant(p, x.dtype) if "w_s" in p else p["w"]
+    return jnp.dot(x, w, precision=precision) + p["b"]
 
 
 def qkv_fused(y: jax.Array, attn: Params, n_heads: int
@@ -79,8 +95,12 @@ def qkv_fused(y: jax.Array, attn: Params, n_heads: int
     it out of the decode while_loop.
 
     Returns q (B,T,H,Dh), k (B,H,T,Dh), v (B,H,T,Dh)."""
-    w = jnp.concatenate([attn["q"]["w"], attn["k"]["w"], attn["v"]["w"]],
-                        axis=-1)
+    if "w_s" in attn["q"]:
+        w = jnp.concatenate([_wq_dequant(attn[n], y.dtype)
+                             for n in ("q", "k", "v")], axis=-1)
+    else:
+        w = jnp.concatenate([attn["q"]["w"], attn["k"]["w"], attn["v"]["w"]],
+                            axis=-1)
     b = jnp.concatenate([attn["q"]["b"], attn["k"]["b"], attn["v"]["b"]])
     qkv = jnp.dot(y, w, precision=HIGHEST) + b
     q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -103,6 +123,110 @@ def split_heads_hm(x: jax.Array, n_heads: int) -> jax.Array:
 def merge_heads(x: jax.Array) -> jax.Array:
     b, t, h, dh = x.shape
     return x.reshape(b, t, h * dh)
+
+
+def tok_embed(dec: Params, tokens: jax.Array, dtype) -> jax.Array:
+    """Token-embedding lookup, handling the int8 weight-quantized table
+    ({"tok_emb": int8 (V, d), "tok_emb_s": per-ROW f32 scale (V,)}).
+    Gathering rows then scaling is elementwise-identical to gathering from
+    the dequantized table (gather commutes with the per-row multiply)."""
+    e = dec["tok_emb"][tokens]
+    if "tok_emb_s" in dec:
+        return e.astype(dtype) * dec["tok_emb_s"][tokens][..., None
+                                                          ].astype(dtype)
+    return e.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# weight-only int8 quantization (serving mode)
+# ---------------------------------------------------------------------------
+
+def _quant_cols(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-output-column symmetric int8 over the reduction (in) axis:
+    (..., in, out) -> (int8 values, f32 scales (..., out))."""
+    wf = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2) / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(wf / s[..., None, :]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def quantize_weights_wq(params: Params, cfg: WhisperConfig) -> Params:
+    """Weight-only int8 for the DECODER's per-step-read weights
+    (cfg.weight_quant; serving/bf16 mode only — fp32 is the token-parity
+    contract and stays unquantized).
+
+    What gets quantized (everything the decode loop reads EVERY step):
+      * self-attn q/k/v/o, cross-attn q/o, fc1/fc2 — per-output-column
+        scales, which commute with the matmul exactly;
+      * tok_emb — per-ROW scales (a row is both an embedding vector and a
+        logit column, so per-row commutes with the tied-logit matmul).
+    NOT quantized: cross-attn k/v projections (read once per transcription
+    in precompute_cross_kv — no per-step traffic, pure accuracy cost),
+    the encoder (compute-bound, weights read once per batch), biases,
+    layer norms, pos_emb.
+
+    Why (measured, v5e, benchmarks/wq_ab.py → DESIGN.md §28): the decode
+    floor at medium/large is dominated by per-step weight reads (0.8-1.6
+    GB bf16). The in-graph dequant (`deq`) fuses into the dot's operand
+    read: d1024 L24 b16 slope 571 → 321 µs/step, d1280 L32 b8
+    1178 → 635 — both land BELOW the bf16 weight-read floor, i.e. the
+    weights genuinely stream from HBM as int8. Scale-on-output (`deqout`)
+    and s8×s8 MXU dots (`i8dot`) measured slightly worse.
+
+    Numerics: the effective weight is exactly int8→compute-dtype × scale
+    (see _wq_dequant), so a run with quantized params is bit-identical to
+    a run whose params were pre-materialized that way
+    (tests/test_weight_quant.py); accuracy vs the UNquantized weights is
+    the usual ≤0.4% per-element weight rounding (|w|/254 per column max).
+
+    The reference has no quantization at all (fp32 throughout,
+    whisper_tensor.mojo); this is a TPU-serving capability beyond parity.
+    """
+    if jnp.dtype(cfg.compute_dtype) == jnp.float32:
+        raise ValueError("weight_quant is the serving-mode (bf16) feature; "
+                         "fp32 is the token-parity contract")
+    dec = params["decoder"]
+    layers = dict(dec["layers"])
+
+    def qlin(p):
+        q, s = _quant_cols(p["w"])
+        return {"w": q, "w_s": s, "b": p["b"]}
+
+    layers["attn"] = {n: qlin(layers["attn"][n]) for n in ("q", "k", "v", "o")}
+    layers["cross_attn"] = {**layers["cross_attn"],
+                            "q": qlin(layers["cross_attn"]["q"]),
+                            "o": qlin(layers["cross_attn"]["o"])}
+    layers["fc1"] = qlin(layers["fc1"])
+    layers["fc2"] = qlin(layers["fc2"])
+
+    emb = dec["tok_emb"].astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(emb), axis=-1) / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(emb / s[:, None]), -127, 127).astype(jnp.int8)
+    return {**params, "decoder": {**dec, "layers": layers,
+                                  "tok_emb": q, "tok_emb_s": s}}
+
+
+def dequantize_weights_wq(params: Params, dtype=jnp.bfloat16) -> Params:
+    """Materialize the effective (compute-dtype) weights of a
+    quantize_weights_wq tree — the numerics oracle for tests: running the
+    quantized tree must be bit-identical to running this one."""
+    dec = params["decoder"]
+    layers = jax.tree.map(lambda x: x, dec["layers"])  # shallow-ish copy
+
+    def dq(p):
+        return {"w": _wq_dequant(p, dtype), "b": p["b"]}
+
+    layers["attn"] = {n: dq(layers["attn"][n]) for n in ("q", "k", "v", "o")}
+    layers["cross_attn"] = {**layers["cross_attn"],
+                            "q": dq(layers["cross_attn"]["q"]),
+                            "o": dq(layers["cross_attn"]["o"])}
+    layers["fc1"] = dq(layers["fc1"])
+    layers["fc2"] = dq(layers["fc2"])
+    emb = (dec["tok_emb"].astype(dtype)
+           * dec["tok_emb_s"][:, None].astype(dtype))
+    out_dec = {k: v for k, v in dec.items() if k != "tok_emb_s"}
+    return {**params, "decoder": {**out_dec, "layers": layers,
+                                  "tok_emb": emb}}
 
 
 # ---------------------------------------------------------------------------
@@ -421,7 +545,7 @@ def decoder_forward(params: Params, cfg: WhisperConfig,
     dtype = jnp.dtype(cfg.compute_dtype)
     B, T = tokens.shape
 
-    h = dec["tok_emb"][tokens].astype(dtype)
+    h = tok_embed(dec, tokens, dtype)
     pos = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos_offset, T)
     h = h + pos.astype(dtype)
 
@@ -498,6 +622,14 @@ def final_logits(params: Params, cfg: WhisperConfig, h: jax.Array
         logits = jnp.dot(h.astype(jnp.float32),
                          dec["tok_emb"].T.astype(jnp.float32),
                          precision=HIGHEST)
+    elif "tok_emb_s" in dec:
+        # weight-quantized table: per-ROW scales are per-output-COLUMN of
+        # the tied-logit matmul, the exact-commuting axis; the in-graph
+        # dequant fuses into the dot's operand read (DESIGN.md §28) so the
+        # per-step logit read is the int8 bytes (~26 MB at medium vs 106)
+        w = (dec["tok_emb"].astype(dtype)
+             * dec["tok_emb_s"][:, None].astype(dtype))
+        logits = jnp.dot(h, w.T, preferred_element_type=jnp.float32)
     else:
         logits = jnp.dot(h, dec["tok_emb"].T.astype(dtype),
                          preferred_element_type=jnp.float32)
@@ -561,7 +693,7 @@ def decoder_step_t(params: Params, cfg: WhisperConfig,
     S = cache_t["k"].shape[-1]
     D = cfg.head_dim
 
-    h = dec["tok_emb"][tokens1].astype(dtype)             # (B, 1, d)
+    h = tok_embed(dec, tokens1, dtype)             # (B, 1, d)
     h = h + dec["pos_emb"][pos_offset][None, None, :].astype(dtype)
     kv_len = pos_offset + 1
     key_mask = (jnp.arange(S) < kv_len)[None, None, None, :]
@@ -776,7 +908,7 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
     S = kv_cache["k"].shape[-2]
     D = cfg.head_dim
 
-    h = dec["tok_emb"][tokens1].astype(dtype)             # (B, 1, d)
+    h = tok_embed(dec, tokens1, dtype)             # (B, 1, d)
     h = h + dec["pos_emb"][pos_offset][None, None, :].astype(dtype)
     strict_mask = (jnp.arange(S) < pos_offset)[None, None, None, :]
 
@@ -923,7 +1055,7 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
     B = tokens1.shape[0]
     rows = jnp.arange(B)
 
-    h = dec["tok_emb"][tokens1].astype(dtype)            # (B, 1, d)
+    h = tok_embed(dec, tokens1, dtype)            # (B, 1, d)
     h = h + dec["pos_emb"][pos][:, None].astype(dtype)
     kv_len = pos + 1                                     # (B,)
     inplace = "k_s" not in kv_cache

@@ -58,6 +58,12 @@ def param_pspecs(params: Params, pipeline: bool = False) -> Params:
     def spec_for(path: str, x) -> P:
         nd = np.ndim(x)
         layer_ax = ("pp" if pipeline and "layers" in path else None)
+        # --- int8 weight-quant scale vectors ('w_s'/'tok_emb_s'): tiny;
+        # replicate (checked before 'tok_emb' since the path substring
+        # matches both). Sharding quantized trees is otherwise
+        # unsupported — see shard_params.
+        if "_s'" in path:
+            return P(*([None] * nd))
         # --- embeddings ---
         if "tok_emb" in path:
             return P("tp", None)            # vocab-sharded: splits logit matmul
@@ -141,6 +147,14 @@ def shard_params(params: Params, mesh: Mesh,
         pipeline = "pp" in mesh.axis_names and mesh.shape["pp"] > 1
     specs = param_pspecs(params, pipeline=pipeline)
     tp = int(mesh.shape["tp"]) if "tp" in mesh.axis_names else 1
+    if tp > 1 and "tok_emb_s" in params.get("decoder", {}):
+        # the vocab-pad machinery below would pad the int8 table but not
+        # its per-row scales; quantize AFTER sharding (or run weight_quant
+        # single-chip) rather than silently mis-sharding
+        raise NotImplementedError(
+            "weight_quant trees cannot be tensor-parallel sharded; shard "
+            "the unquantized tree (weight_quant is a single-chip serving "
+            "feature, DESIGN.md §28)")
 
     def place(path: str, x, s: P):
         shape = np.shape(x)

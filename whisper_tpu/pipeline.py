@@ -72,6 +72,11 @@ class WhisperPipeline:
         dtype = jnp.dtype(self.cfg.compute_dtype)
         if dtype != jnp.float32:
             params = weights_lib.to_device(params, dtype)
+        if self.cfg.weight_quant:
+            # weight-only int8 on the decoder's per-step-read weights
+            # (DESIGN.md §28); quantize_weights_wq rejects fp32 configs
+            from whisper_tpu.models.whisper import quantize_weights_wq
+            params = quantize_weights_wq(params, self.cfg)
         self.params = params
         self.tokenizer = tokenizer or Tokenizer(config=self.cfg)
         # official (layer, head) word-alignment table when a checkpoint
