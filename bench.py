@@ -213,6 +213,13 @@ def main() -> None:
     weight_bytes = sum(x.size * x.dtype.itemsize
                        for x in jax.tree.leaves(params))
     hbm_avail = int(13.5 * (1 << 30)) - weight_bytes - 2 * cross_bytes
+    if CROSS_QUANT or WQ:
+        # The quantized modes sit outside the 13.5 GiB calibration: medium
+        # b16 wq+cq OOMed at the model's edge-exact G=8 (compiled loop
+        # temps 0.66 GiB + stage1 temps are unmodeled; the 2*cross reserve
+        # no longer covers them once cross_bytes is int8-sized). Reserve a
+        # measured-conservative 2 GiB until these modes are recalibrated.
+        hbm_avail -= 2 * (1 << 30)
     G = max(1, min(G, hbm_avail // per_ub))
     if G > 1:
         chained = make_chained_runner(cfg, params, prompt, GEN_TOKENS, G,

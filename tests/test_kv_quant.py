@@ -131,6 +131,54 @@ def test_quantized_end_to_end_decode(small_cfg):
     assert np.isfinite(np.asarray(res.sum_logprobs)).all()
 
 
+def test_cross_q8_commuted_matches_dequant_oracle():
+    """The scale-commuted int8 cross formulation (_att_cross_q8 — the bf16
+    serving default, DESIGN.md §16 update) computes the same attention as
+    dequantize-then-reference: per-vector scales commute out of both dots
+    (K's scale to the score axis, V's scale into the probabilities)."""
+    from whisper_tpu.models.whisper import _att_cross_q8
+    from whisper_tpu.ops.attention import mha_reference
+
+    rng = np.random.RandomState(7)
+    B, H, S, D = 2, 3, 160, 64
+    q = jnp.asarray(rng.randn(B, 1, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, S, D) * 1.7, jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, S, D) * 0.8, jnp.float32)
+    kq, ks = quantize_kv(k)
+    vq, vs = quantize_kv(v)
+    cross_l = {"k": kq, "k_s": ks, "v": vq, "v_s": vs}
+    ref = mha_reference(q, dequantize_kv(kq, ks, jnp.float32),
+                        dequantize_kv(vq, vs, jnp.float32), None)
+    # fp32 math: only accumulation order / scale-multiply placement differ
+    out = _att_cross_q8(q, cross_l, D, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    # bf16 (the serving dtype): agreement to bf16 rounding
+    out16 = _att_cross_q8(q.astype(jnp.bfloat16), cross_l, D, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(out16, dtype=np.float32),
+                               np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_cross_q8_commuted_bf16_end_to_end(small_cfg):
+    """bf16 + cfg.cross_kv_quant greedy decode routes the loop's cross
+    attention through the commuted formulation (the default) and produces
+    a well-formed transcription."""
+    from whisper_tpu.decode import transcribe_tokens
+
+    from whisper_tpu.weights import to_device
+
+    cfg = small_cfg.replace(cross_kv_quant=True, compute_dtype="bfloat16")
+    params = to_device(init_params(cfg, jax.random.PRNGKey(0)), jnp.bfloat16)
+    mel = jax.random.normal(jax.random.PRNGKey(2),
+                            (2, cfg.n_mels, cfg.n_frames)) * 0.5
+    prompt = jnp.asarray(np.tile(build_prompt(cfg), (2, 1)), jnp.int32)
+    res = transcribe_tokens(params, cfg, mel, prompt, max_new=6)
+    toks = np.asarray(res.tokens)
+    assert toks.shape[0] == 2
+    assert (toks[:, 0] == cfg.sot_token).all()
+    assert np.isfinite(np.asarray(res.sum_logprobs)).all()
+
+
 def test_cross_quant_decode_matches_dequant_reference(small_cfg):
     """cfg.cross_kv_quant (int8 cross, bf16/fp32 self, split-compatible):
     greedy tokens via the interpret Pallas cross kernel == tokens via the

@@ -733,11 +733,15 @@ def decoder_step_t(params: Params, cfg: WhisperConfig,
         per-step HBM at tiny b8 is cross K/V); elsewhere the cache is
         dequantized into the reference formulation."""
         if "k_s" in cross_l:
+            mode = _q8_cross_mode()
+            if not fp32_mode and mode == "commute":
+                return _att_cross_q8(q.astype(dtype), cross_l, D, dtype)
             from whisper_tpu.ops.attention import default_backend
             backend = cfg.attn_backend or default_backend()
-            if (backend in ("auto", "pallas")
-                    and jax.default_backend() == "tpu") \
-                    or backend == "pallas_interpret":
+            if mode != "deq" and (
+                    (backend in ("auto", "pallas")
+                     and jax.default_backend() == "tpu")
+                    or backend == "pallas_interpret"):
                 from whisper_tpu.ops.decode_attention import (
                     decode_attention_q8_bh,
                 )
@@ -865,6 +869,75 @@ def _mxu_query_tile(d_model: int) -> int:
     return int(os.environ.get("WHISPER_TPU_MXU_T", str(default)))
 
 
+def _q8_cross_mode() -> str:
+    """Formulation for int8 cross-attention inside the decode loop (bf16
+    serving mode; trace-time env knob WHISPER_TPU_Q8_CROSS, same
+    set-before-first-call caveat as _loop_step_mode):
+
+      * 'commute' (default) — scale-commuted XLA dots (_att_cross_q8).
+      * 'kernel' — the per-(batch, head) Pallas int8 decode kernel
+        (decode_attention_q8_bh); launch-overhead-bound at Whisper sizes
+        (DESIGN.md §16) but kept for A/B and giant-context shapes.
+      * 'deq' — materialized dequant then the bf16 einsum path (the §16
+        pathology; A/B instrumentation only)."""
+    import os
+    return os.environ.get("WHISPER_TPU_Q8_CROSS", "commute")
+
+
+def _att_cross_q8(q: jax.Array, cross_l: dict[str, jax.Array],
+                  D: int, dtype) -> jax.Array:
+    """Scale-commuted int8 cross-attention for the T==1 decode step —
+    no dequantized K/V tensor ever exists.
+
+    DESIGN.md §16 measured two int8-cross routes as definitive e2e
+    negatives: the per-(b,h) Pallas kernel (launch-bound at S=1500) and
+    the XLA dequant route (materializes the full bf16 cache per step).
+    Both moved dequantized bytes. This third formulation commutes the
+    per-vector scales out of both contractions instead:
+
+        score[b,h,t,s] = (q · k_int8[s]) * k_s[s]      (S not contracted)
+        out[b,h,t,d]   = Σ_s (p[s] * v_s[s]) * v_int8[s,d]
+
+    so the int8→bf16 converts are pure operand-read fusions into the MXU
+    dots — the same fusion benchmarks/wq_ab.py measured streaming int8
+    weights below the bf16 weight-read floor (DESIGN.md §28) — and the
+    scale multiplies touch only (B,H,1,S) score/probability tensors.
+    Cross-KV is the dominant decode read (e.g. ~2.4 GB/step of medium
+    b16's ~3 GB); this halves it.
+
+    Numerics: identical products to the dequantized form up to where the
+    scale multiply lands (fp32 scores vs bf16 operands) — each output
+    differs from the deq route only by bf16 rounding of p*v_s vs v*v_s.
+
+    q: (B,1,H,D) compute dtype; cross_l: int8 {"k","v"} (B,H,S,D) with
+    fp32 per-vector scales {"k_s","v_s"} (B,H,S,1).
+    """
+    f32 = jnp.float32
+    B, _, H, _ = q.shape
+    k, v = cross_l["k"], cross_l["v"]
+    ks = cross_l["k_s"][:, :, None, :, 0]                  # (B,H,1,S)
+    vs = cross_l["v_s"][:, :, None, :, 0]
+    t8 = _mxu_query_tile(H * D)
+    if t8 > 1:
+        qq = jnp.broadcast_to(q, (B, t8) + q.shape[2:])
+        s = jnp.einsum("bthd,bhsd->bhts", qq, k.astype(dtype),
+                       preferred_element_type=f32)[:, :, :1]
+    else:
+        s = jnp.einsum("bthd,bhsd->bhts", q, k.astype(dtype),
+                       preferred_element_type=f32)
+    s = s * (ks * (D ** -0.5))
+    p = jax.nn.softmax(s, axis=-1)
+    pv = (p * vs).astype(dtype)                            # (B,H,1,S)
+    if t8 > 1:
+        pv = jnp.broadcast_to(pv, pv.shape[:2] + (t8, pv.shape[-1]))
+        o = jnp.einsum("bhts,bhsd->bthd", pv, v.astype(dtype),
+                       preferred_element_type=f32)[:, :1]
+    else:
+        o = jnp.einsum("bhts,bhsd->bthd", pv, v.astype(dtype),
+                       preferred_element_type=f32)
+    return o.astype(dtype)
+
+
 def decoder_step_ip(params: Params, cfg: WhisperConfig,
                     tokens1: jax.Array, pos_offset: jax.Array,
                     kv_cache: dict[str, jax.Array],
@@ -917,14 +990,20 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
                                      strict_mask, D, dtype)
 
     def att_cross(q, cross_l):
-        """Cross attention; int8 cross caches stream through the Pallas
-        decode kernel (dequant in VMEM) exactly as in decoder_step_t."""
+        """Cross attention. int8 cross caches: bf16 mode defaults to the
+        scale-commuted XLA formulation (_att_cross_q8 — the only route
+        that actually halves the read, WHISPER_TPU_Q8_CROSS overrides);
+        fp32 mode keeps the kernel/dequant routes of decoder_step_t."""
         if "k_s" in cross_l:
+            mode = _q8_cross_mode()
+            if not fp32_mode and mode == "commute":
+                return _att_cross_q8(q.astype(dtype), cross_l, D, dtype)
             from whisper_tpu.ops.attention import default_backend
             backend = cfg.attn_backend or default_backend()
-            if (backend in ("auto", "pallas")
-                    and jax.default_backend() == "tpu") \
-                    or backend == "pallas_interpret":
+            if mode != "deq" and (
+                    (backend in ("auto", "pallas")
+                     and jax.default_backend() == "tpu")
+                    or backend == "pallas_interpret"):
                 from whisper_tpu.ops.decode_attention import (
                     decode_attention_q8_bh,
                 )
@@ -1099,9 +1178,16 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
         r = h
         y = layer_norm(h, lp["cross_ln"]["g"], lp["cross_ln"]["b"], cfg.ln_eps)
         q = split_heads(linear(y, lp["cross_attn"]["q"]), cfg.n_heads)
-        a = merge_heads(_cache_attention(
-            q, cross_l, None, causal=False, q_offset=0, cfg=cfg,
-            dtype=dtype))
+        # int8 cross in bf16 serving mode: the scale-commuted formulation
+        # (same routing as decoder_step_ip.att_cross — T==1 per row here too)
+        if "k_s" in cross_l and jnp.dtype(dtype) != jnp.float32 \
+                and _q8_cross_mode() == "commute":
+            a = merge_heads(_att_cross_q8(q.astype(dtype), cross_l,
+                                          cfg.head_dim, dtype))
+        else:
+            a = merge_heads(_cache_attention(
+                q, cross_l, None, causal=False, q_offset=0, cfg=cfg,
+                dtype=dtype))
         h = r + linear(a, lp["cross_attn"]["o"])
         r = h
         y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"], cfg.ln_eps)

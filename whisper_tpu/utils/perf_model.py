@@ -100,11 +100,23 @@ def prefill_cost(cfg: WhisperConfig, batch: int, prompt_len: int,
 
 def decode_cost(cfg: WhisperConfig, batch: int, prompt_len: int,
                 n_steps: int, dtype_bytes: int,
-                kv_dtype_bytes: int | None = None) -> tuple[float, float]:
-    """(flops, hbm_bytes) for `n_steps` single-token decode steps."""
+                kv_dtype_bytes: int | None = None,
+                cross_kv_bytes: int | None = None,
+                weight_dtype_bytes: int | None = None) -> tuple[float, float]:
+    """(flops, hbm_bytes) for `n_steps` single-token decode steps.
+
+    Quantized variants shrink the floor honestly: `weight_dtype_bytes`
+    covers cfg.weight_quant (int8 decoder weights + tok_emb; per-column
+    scales are negligible), `cross_kv_bytes`/`kv_dtype_bytes` cover the
+    int8 caches, whose per-vector fp32 scales add 4 bytes per head-slot
+    (+6.25% at head_dim 64) and ARE counted."""
     d, ff, S = cfg.d_model, cfg.d_ff, cfg.n_audio_ctx
-    L, V = cfg.n_text_layers, cfg.vocab_size
+    L, V, H = cfg.n_text_layers, cfg.vocab_size, cfg.n_heads
     kvb = kv_dtype_bytes or dtype_bytes
+    ckb = cross_kv_bytes or dtype_bytes
+    wb = weight_dtype_bytes or dtype_bytes
+    kv_scale = 4 * H if kvb == 1 else 0       # fp32 scale per (head, slot)
+    ck_scale = 4 * H if ckb == 1 else 0
     fl = b = 0.0
     for i in range(n_steps):
         kv_len = prompt_len + i + 1
@@ -113,9 +125,10 @@ def decode_cost(cfg: WhisperConfig, batch: int, prompt_len: int,
                      + _attn_flops(1, S, d)
                      + 4.0 * d * ff)
         fl += batch * (L * per_layer + 2.0 * d * V)
-        step_bytes = (L * _layer_weight_bytes(cfg, True, dtype_bytes)
-                      + V * d * dtype_bytes                       # logits
-                      + batch * L * d * kvb * (2 * S + 2 * kv_len))
+        step_bytes = (L * _layer_weight_bytes(cfg, True, wb)
+                      + V * d * wb                                # logits
+                      + batch * L * (2 * S * (d * ckb + ck_scale)
+                                     + 2 * kv_len * (d * kvb + kv_scale)))
         b += step_bytes
     return fl, b
 
@@ -130,11 +143,15 @@ def workload_cost(cfg: WhisperConfig, batch: int, prompt_len: int,
     if dtype_bytes is None:
         dtype_bytes = 2 if cfg.compute_dtype == "bfloat16" else 4
     kvb = 1 if cfg.kv_cache_quant else dtype_bytes
+    ckb = 1 if (cfg.kv_cache_quant
+                or getattr(cfg, "cross_kv_quant", False)) else dtype_bytes
+    wb = 1 if getattr(cfg, "weight_quant", False) else dtype_bytes
     phases = [
         encoder_cost(cfg, batch, dtype_bytes),
         prefill_cost(cfg, batch, prompt_len, dtype_bytes),
         decode_cost(cfg, batch, prompt_len, gen_tokens - 1, dtype_bytes,
-                    kv_dtype_bytes=kvb),
+                    kv_dtype_bytes=kvb, cross_kv_bytes=ckb,
+                    weight_dtype_bytes=wb),
     ]
     flops = sum(f for f, _ in phases)
     hbm = sum(b for _, b in phases)
