@@ -17,10 +17,11 @@ run() {
   echo "--- exit ${PIPESTATUS[0]} $(date +%H:%M:%S)" >&2
 }
 
-# commuted int8 cross A/B (DESIGN.md §16 update) + stacking with wq
-run WHISPER_BENCH_MODEL=medium WHISPER_BENCH_BATCH=16 WHISPER_BENCH_WQ=1 WHISPER_BENCH_CROSSQUANT=1
-run WHISPER_BENCH_MODEL=tiny WHISPER_BENCH_BATCH=32 WHISPER_BENCH_CROSSQUANT=1
-run WHISPER_BENCH_MODEL=small WHISPER_BENCH_BATCH=32 WHISPER_BENCH_WQ=1 WHISPER_BENCH_CROSSQUANT=1
-run WHISPER_BENCH_MODEL=large-v2 WHISPER_BENCH_BATCH=8 WHISPER_BENCH_WQ=1 WHISPER_BENCH_CROSSQUANT=1
-run WHISPER_BENCH_MODEL=medium WHISPER_BENCH_BATCH=16 WHISPER_BENCH_WQ=1
-run WHISPER_BENCH_MODEL=medium WHISPER_BENCH_BATCH=32 WHISPER_BENCH_WQ=1 WHISPER_BENCH_CROSSQUANT=1
+# Fill in the quantized-default decision matrix (DESIGN.md §29): does wq
+# hurt tiny? does cq help base/turbo/large-v3? decompose small's -2%.
+run WHISPER_BENCH_MODEL=tiny WHISPER_BENCH_BATCH=32 WHISPER_BENCH_WQ=1 WHISPER_BENCH_CROSSQUANT=1
+run WHISPER_BENCH_MODEL=base WHISPER_BENCH_BATCH=32 WHISPER_BENCH_CROSSQUANT=1
+run WHISPER_BENCH_MODEL=small WHISPER_BENCH_BATCH=32 WHISPER_BENCH_WQ=1
+run WHISPER_BENCH_MODEL=small WHISPER_BENCH_BATCH=32 WHISPER_BENCH_CROSSQUANT=1
+run WHISPER_BENCH_MODEL=turbo WHISPER_BENCH_BATCH=32 WHISPER_BENCH_WQ=1 WHISPER_BENCH_CROSSQUANT=1
+run WHISPER_BENCH_MODEL=large-v3 WHISPER_BENCH_BATCH=8 WHISPER_BENCH_WQ=1 WHISPER_BENCH_CROSSQUANT=1
