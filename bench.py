@@ -46,8 +46,15 @@ REPEATS = 5
 DTYPE = os.environ.get("WHISPER_BENCH_DTYPE", "bfloat16")
 BACKEND = os.environ.get("WHISPER_TPU_ATTN")     # None = auto
 KV_QUANT = os.environ.get("WHISPER_BENCH_KVQUANT", "0") == "1"
-CROSS_QUANT = os.environ.get("WHISPER_BENCH_CROSSQUANT", "0") == "1"
-WQ = os.environ.get("WHISPER_BENCH_WQ", "0") == "1"
+# "auto" (default) = the WhisperPipeline serving policy (config.
+# apply_serving_quant): bf16 runs weight-only int8 + scale-commuted int8
+# cross-KV — the measured-best config at every family size (DESIGN.md
+# §29); fp32 parity mode stays unquantized. "0"/"1" force.
+_AUTO_Q = DTYPE == "bfloat16"
+CROSS_QUANT = (os.environ.get("WHISPER_BENCH_CROSSQUANT", "auto")
+               .replace("auto", "1" if _AUTO_Q else "0")) == "1"
+WQ = (os.environ.get("WHISPER_BENCH_WQ", "auto")
+      .replace("auto", "1" if _AUTO_Q else "0")) == "1"
 
 
 def make_chained_runner(cfg, params, prompt, gen_tokens: int, G: int,
@@ -275,6 +282,8 @@ def main() -> None:
         "dtype": DTYPE,
         "attn": BACKEND or "auto",
         "kv_quant": KV_QUANT,
+        "weight_quant": WQ,
+        "cross_quant": CROSS_QUANT,
         "achieved_tflops": round(cost.flops / per_batch / 1e12, 2),
         "mfu_pct": round(100 * cost.mfu(per_batch), 2),
         "sol_pct": round(100 * cost.sol_frac(per_batch), 1),

@@ -1,0 +1,78 @@
+"""The bf16 serving quantization defaults (DESIGN.md §29).
+
+WhisperPipeline(quant="auto") — the default — turns on weight-only int8
+decoder weights + scale-commuted int8 cross-KV for bf16 configs (the
+measured-best single-chip serving config at every family size), while
+fp32 token-parity mode and explicitly-flagged configs pass through
+unchanged. The reference has no quantization at all (fp32 throughout,
+whisper_tensor.mojo); this is a capability extension, so the tests pin
+OUR policy contract rather than reference behavior.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_tpu.config import apply_serving_quant
+from whisper_tpu.pipeline import WhisperPipeline
+
+
+@pytest.fixture()
+def nano_bf16_plain(small_cfg):
+    return small_cfg.replace(compute_dtype="bfloat16")
+
+
+def test_policy_bf16_enables_wq_cq(nano_bf16_plain):
+    cfg = apply_serving_quant(nano_bf16_plain)
+    assert cfg.weight_quant and cfg.cross_kv_quant
+    assert not cfg.kv_cache_quant  # capacity feature stays opt-in
+
+
+def test_policy_fp32_untouched(small_cfg):
+    assert apply_serving_quant(small_cfg) is small_cfg
+
+
+def test_policy_explicit_flag_wins(nano_bf16_plain):
+    # a user who chose ONLY cross-KV quant keeps exactly that
+    cfg = nano_bf16_plain.replace(cross_kv_quant=True)
+    assert apply_serving_quant(cfg) is cfg
+
+
+def test_policy_kill_switch(nano_bf16_plain, monkeypatch):
+    monkeypatch.setenv("WHISPER_TPU_AUTO_QUANT", "0")
+    assert apply_serving_quant(nano_bf16_plain) is nano_bf16_plain
+
+
+def test_pipeline_auto_quantizes_bf16(nano_bf16_plain):
+    pipe = WhisperPipeline.from_random(nano_bf16_plain)
+    assert pipe.cfg.weight_quant and pipe.cfg.cross_kv_quant
+    assert pipe.params["decoder"]["tok_emb"].dtype == jnp.int8
+    assert "tok_emb_s" in pipe.params["decoder"]
+
+
+def test_pipeline_quant_off(nano_bf16_plain):
+    pipe = WhisperPipeline.from_random(nano_bf16_plain, quant="off")
+    assert not pipe.cfg.weight_quant and not pipe.cfg.cross_kv_quant
+    assert pipe.params["decoder"]["tok_emb"].dtype == jnp.bfloat16
+    with pytest.raises(ValueError, match="quant"):
+        WhisperPipeline.from_random(nano_bf16_plain, quant="int4")
+
+
+def test_pipeline_fp32_stays_parity_mode(small_cfg):
+    pipe = WhisperPipeline.from_random(small_cfg)
+    assert not pipe.cfg.weight_quant and not pipe.cfg.cross_kv_quant
+    assert pipe.params["decoder"]["tok_emb"].dtype == jnp.float32
+
+
+def test_auto_quant_pipeline_transcribes(nano_bf16_plain):
+    """e2e through the quantized-serving default: the auto pipeline decodes
+    a window and its tokens match a pipeline with the same flags set
+    explicitly (policy only selects flags, never changes semantics)."""
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(16000) * 0.1).astype(np.float32)
+    auto = WhisperPipeline.from_random(nano_bf16_plain)
+    r_auto = auto.transcribe_window(audio, max_new=8)
+    explicit = WhisperPipeline.from_random(
+        nano_bf16_plain.replace(weight_quant=True, cross_kv_quant=True))
+    r_exp = explicit.transcribe_window(audio, max_new=8)
+    assert r_auto.tokens == r_exp.tokens

@@ -72,9 +72,14 @@ def main(argv=None) -> int:
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (fused dequant kernel on TPU)")
     p.add_argument("--cross-kv-quant", action="store_true",
-                   help="int8 CROSS cache only (self stays bf16): 2x "
-                        "context per HBM byte; costs ~3x RTFx at tiny "
-                        "(capacity feature — DESIGN.md §16)")
+                   help="int8 CROSS cache only (self stays bf16): halves "
+                        "the dominant per-step decode read via the scale-"
+                        "commuted formulation — e2e win at every family "
+                        "size (DESIGN.md §29); on by default in bf16 mode")
+    p.add_argument("--no-quant", action="store_true",
+                   help="disable the bf16 serving default of weight-only "
+                        "int8 + int8 cross-KV (DESIGN.md §29); explicit "
+                        "--*-quant flags also suppress the auto default")
     p.add_argument("--weight-quant", action="store_true",
                    help="weight-only int8 on the decoder's per-step "
                         "weights (bf16 mode only): the dequant fuses into "
@@ -104,14 +109,17 @@ def main(argv=None) -> int:
         cfg = cfg.replace(cross_kv_quant=True)
     if args.weight_quant:
         cfg = cfg.replace(weight_quant=True)
+    quant = "off" if args.no_quant else "auto"
     if args.flat_bin:
-        pipe = WhisperPipeline.from_flat_bin(args.flat_bin, cfg, args.vocab)
+        pipe = WhisperPipeline.from_flat_bin(args.flat_bin, cfg, args.vocab,
+                                             quant=quant)
     elif args.weights:
-        pipe = WhisperPipeline.from_npz(args.weights, cfg)
+        pipe = WhisperPipeline.from_npz(args.weights, cfg, quant=quant)
     elif args.random_weights:
-        pipe = WhisperPipeline.from_random(cfg)
+        pipe = WhisperPipeline.from_random(cfg, quant=quant)
     else:
         p.error("need one of --weights / --flat-bin / --random-weights")
+    cfg = pipe.cfg  # auto-quant may have added serving flags
 
     mel_opts = None
     if args.beam > 1 or args.temperature > 0 or args.timestamps \

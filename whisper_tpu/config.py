@@ -48,14 +48,14 @@ class WhisperConfig:
     kv_cache_quant: bool = False
     # int8 CROSS cache only (self stays bf16/fp32): the cross K/V is the
     # dominant per-step decode read (~74 MB of ~115 MB at tiny b8 — every
-    # step touches all 1500 audio positions), and unlike kv_cache_quant
-    # this composes with the split decode loop — cross-attention reads
-    # stream int8 tiles through the Pallas decode kernel and dequantize in
-    # VMEM (ops/decode_attention.decode_attention_q8_bh). CAPACITY feature,
-    # not a latency feature: measured e2e at tiny it LOSES ~3x (b8
-    # 3480→1150 RTFx, b32 6279→948 — the per-(batch,head) kernel grid is
-    # launch-overhead-bound at Whisper sizes; DESIGN.md §16). Use for 2x
-    # context/batch per HBM byte, never auto-engaged.
+    # step touches all 1500 audio positions). In bf16 mode the loop reads
+    # it via the scale-commuted formulation (WHISPER_TPU_Q8_CROSS=commute):
+    # K's per-vector scale moves to the score axis and V's into the
+    # probabilities, so the int8→bf16 converts fuse into the MXU dot
+    # operand reads and no dequantized tensor ever exists. Measured e2e
+    # WIN at every family size (tiny b32 +18%, large-v2 b8 +18% stacked
+    # with weight_quant — DESIGN.md §29; the two earlier formulations that
+    # materialized a dequantized K/V both lost, §16).
     cross_kv_quant: bool = False
     # Weight-only int8 for the decoder's per-step-read weights (attn/MLP
     # projections + tok_emb) with per-output-column scales, dequantized
@@ -189,3 +189,25 @@ def get_config(name: str) -> WhisperConfig:
         return CONFIGS[name]
     except KeyError:
         raise ValueError(f"unknown model {name!r}; have {sorted(CONFIGS)}") from None
+
+
+def apply_serving_quant(cfg: WhisperConfig) -> WhisperConfig:
+    """The measured-best single-chip serving defaults (DESIGN.md §29).
+
+    bf16 (serving) mode enables weight-only int8 decoder weights and
+    scale-commuted int8 cross-KV — a stacked e2e win at every family size
+    on v5e (tiny b32 +21%, medium b16 +14%, large-v2 b8 +18%) with ≤0.4%
+    per-element weight rounding and per-vector-scaled KV rounding. fp32
+    (token-parity) mode is returned unchanged, as is any cfg where the
+    caller already set a quant flag explicitly (their choice stands).
+    Kill switch: WHISPER_TPU_AUTO_QUANT=0. Note sharded (multi-chip)
+    paths reject weight_quant params — use explicit flags there.
+    """
+    import os
+    if os.environ.get("WHISPER_TPU_AUTO_QUANT", "1") != "1":
+        return cfg
+    if cfg.compute_dtype == "float32":
+        return cfg
+    if cfg.weight_quant or cfg.cross_kv_quant or cfg.kv_cache_quant:
+        return cfg
+    return cfg.replace(weight_quant=True, cross_kv_quant=True)
