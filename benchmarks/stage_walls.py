@@ -40,6 +40,10 @@ def main() -> None:
                     help="second gen length; fits wall = fixed + gen*slope "
                          "to split per-program fixed cost from per-step cost")
     ap.add_argument("--model", default="tiny")
+    ap.add_argument("--wq", action="store_true",
+                    help="weight-only int8 decoder weights (DESIGN.md §28)")
+    ap.add_argument("--cq", action="store_true",
+                    help="scale-commuted int8 cross-KV (DESIGN.md §29)")
     args = ap.parse_args()
     B, K = args.batch, args.k
 
@@ -50,8 +54,13 @@ def main() -> None:
     from whisper_tpu.tokenizer import build_prompt
     from whisper_tpu.weights import to_device
 
-    cfg = get_config(args.model).replace(compute_dtype="bfloat16")
+    cfg = get_config(args.model).replace(compute_dtype="bfloat16",
+                                         cross_kv_quant=args.cq,
+                                         weight_quant=args.wq)
     params = to_device(init_params(cfg, jax.random.PRNGKey(0)), jnp.bfloat16)
+    if args.wq:
+        from whisper_tpu.models.whisper import quantize_weights_wq
+        params = quantize_weights_wq(params, cfg)
     prompt = jnp.asarray(np.tile(build_prompt(cfg), (B, 1)), jnp.int32)
     total = prompt.shape[1] + args.gen
     bias = jnp.zeros((cfg.vocab_size,), jnp.float32)

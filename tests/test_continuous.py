@@ -296,3 +296,37 @@ def test_scanned_multistep_matches_single_steps(nano):
         eng.step_device(3)               # 3 tokens per program
         eng.sync()
     assert eng._results[rid] == ref
+
+
+def test_serving_default_quant_continuous(nano):
+    """The bf16 serving-default cfg (weight-only int8 + scale-commuted
+    int8 cross-KV, DESIGN.md §29 / config.apply_serving_quant) through
+    the continuous engine: bf16 SELF cache + int8 cross cache + int8
+    weights, tokens exactly equal to the batch decode path on the same
+    quantized cfg."""
+    import jax.numpy as jnp
+    from whisper_tpu.audio import log_mel_spectrogram, pad_or_trim
+    from whisper_tpu.config import apply_serving_quant
+    from whisper_tpu.decode import transcribe_tokens
+    from whisper_tpu.models.whisper import quantize_weights_wq
+    from whisper_tpu.tokenizer import build_prompt
+    from whisper_tpu.weights import to_device
+
+    cfg0, params0 = nano
+    cfg = apply_serving_quant(cfg0.replace(compute_dtype="bfloat16"))
+    assert cfg.weight_quant and cfg.cross_kv_quant
+    params = quantize_weights_wq(
+        to_device(params0, jnp.bfloat16), cfg)
+
+    a = _audio(13)
+    eng = ContinuousBatcher(params, cfg, max_slots=2, max_new=6)
+    rid = eng.submit(a)
+    cont = eng.run_until_idle()[rid]
+    assert cont[:4] == [50258, 50259, 50359, 50363]
+
+    mel = log_mel_spectrogram(
+        jnp.asarray(pad_or_trim(a, cfg.n_samples))[None], cfg)
+    prompt = jnp.asarray([build_prompt(cfg)], jnp.int32)
+    ref = transcribe_tokens(params, cfg, mel, prompt, max_new=6)
+    ref_ids = np.asarray(ref.tokens)[0, :int(ref.lengths[0])].tolist()
+    assert cont == ref_ids
