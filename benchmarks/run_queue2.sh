@@ -28,3 +28,6 @@ run WHISPER_BENCH_MODEL=small WHISPER_BENCH_BATCH=32 WHISPER_BENCH_WQ=1 WHISPER_
 # MXU_T re-check under the new quantized defaults
 run WHISPER_BENCH_MODEL=tiny WHISPER_BENCH_BATCH=32 WHISPER_TPU_MXU_T=8
 run WHISPER_BENCH_MODEL=medium WHISPER_BENCH_BATCH=16 WHISPER_TPU_MXU_T=0
+# re-run of the failed 'turbo' spelling (bench flags now default to the
+# bf16 serving policy = wq+cq)
+run WHISPER_BENCH_MODEL=large-v3-turbo WHISPER_BENCH_BATCH=32

@@ -57,3 +57,11 @@ def test_family_dims():
     assert dims["medium"] == (1024, 16, 24, 24)
     assert dims["large-v3"] == (1280, 20, 32, 32)
     assert dims["large-v3-turbo"] == (1280, 20, 32, 4)
+
+
+def test_model_name_aliases():
+    """openai/whisper short names: turbo -> large-v3-turbo, large -> the
+    newest large (whisper.load_model alias table)."""
+    from whisper_tpu.config import get_config
+    assert get_config("turbo") is get_config("large-v3-turbo")
+    assert get_config("large") is get_config("large-v3")

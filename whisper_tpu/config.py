@@ -184,11 +184,21 @@ CONFIGS: dict[str, WhisperConfig] = {
 }
 
 
+# Aliases openai/whisper accepts (whisper.load_model): "turbo" is the
+# official short name for large-v3-turbo; "large" tracks the newest large.
+ALIASES: dict[str, str] = {
+    "turbo": "large-v3-turbo",
+    "large": "large-v3",
+}
+
+
 def get_config(name: str) -> WhisperConfig:
     try:
-        return CONFIGS[name]
+        return CONFIGS[ALIASES.get(name, name)]
     except KeyError:
-        raise ValueError(f"unknown model {name!r}; have {sorted(CONFIGS)}") from None
+        raise ValueError(
+            f"unknown model {name!r}; have {sorted(CONFIGS)} "
+            f"(+ aliases {sorted(ALIASES)})") from None
 
 
 def apply_serving_quant(cfg: WhisperConfig) -> WhisperConfig:
