@@ -454,17 +454,28 @@ def main(argv: Optional[list] = None) -> int:
                         "continuous: token-granular slot engine "
                         "(serving_continuous.py) — long transcripts never "
                         "hold a batch hostage")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16",
+                   help="serving daemon default is bfloat16 serving mode "
+                        "(with the §29 int8 serving quantization applied "
+                        "automatically); float32 = token-parity mode")
+    p.add_argument("--no-quant", action="store_true",
+                   help="bf16 without the int8 serving defaults "
+                        "(weight-only int8 + int8 cross-KV, DESIGN.md §29)")
     args = p.parse_args(argv)
 
+    from whisper_tpu.config import get_config
     from whisper_tpu.pipeline import WhisperPipeline
     from whisper_tpu.serving import BatchedTranscriber
 
+    cfg = get_config(args.model).replace(compute_dtype=args.dtype)
+    quant = "off" if args.no_quant else "auto"
     if args.flat_bin:
-        pipe = WhisperPipeline.from_flat_bin(args.flat_bin, args.model)
+        pipe = WhisperPipeline.from_flat_bin(args.flat_bin, cfg, quant=quant)
     elif args.weights:
-        pipe = WhisperPipeline.from_npz(args.weights, args.model)
+        pipe = WhisperPipeline.from_npz(args.weights, cfg, quant=quant)
     elif args.random_weights:
-        pipe = WhisperPipeline.from_random(args.model)
+        pipe = WhisperPipeline.from_random(cfg, quant=quant)
     else:
         p.error("need one of --weights / --flat-bin / --random-weights")
 
