@@ -25,6 +25,7 @@ __all__ = ["WhisperConfig", "CONFIGS", "get_config", "WhisperPipeline",
            "BatchedTranscriber", "ContinuousBatcher", "LongFormDriver",
            "ShardedPipeline",
            "TranscriptionServer", "Tokenizer", "DecodeOptions",
+           "speculative_decode", "spec_transcribe_window",
            "__version__"]
 
 _LAZY = {
@@ -38,6 +39,9 @@ _LAZY = {
     "TranscriptionServer": ("whisper_tpu.server", "TranscriptionServer"),
     "Tokenizer": ("whisper_tpu.tokenizer", "Tokenizer"),
     "DecodeOptions": ("whisper_tpu.decode_rules", "DecodeOptions"),
+    "speculative_decode": ("whisper_tpu.speculative", "speculative_decode"),
+    "spec_transcribe_window": ("whisper_tpu.speculative",
+                               "spec_transcribe_window"),
 }
 
 
