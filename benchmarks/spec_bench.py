@@ -1,0 +1,127 @@
+"""Speculative-decoding bounds on the chip.
+
+Random weights cannot demonstrate REAL speculative speedup — a random
+draft never agrees with a random target, so acceptance is ~0. What we
+can measure honestly is the acceptance-conditional envelope:
+
+  * upper bound: draft == target (every window fully accepted, m=k):
+    per-token cost of [k draft steps + one (k+1)-verify] / (k+1).
+    With a cheap draft this is the best spec-dec can ever do.
+  * lower bound: cross-seed draft (m ~= 0): every round pays
+    [k draft steps + verify] for ONE token — the worst case.
+  * reference: plain greedy on the target (bench.py's loop, same drive).
+
+Real checkpoints land between the bounds at Whisper's typical 60-85%
+per-token draft agreement. Reports per-token walls for each regime plus
+the break-even acceptance rate.
+
+Run: python benchmarks/spec_bench.py --target large-v2 --draft base \
+       [--batch 1] [--k 4] [--gen 89] [--kk 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", default="large-v2")
+    ap.add_argument("--draft", default="base")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--k", type=int, default=4)
+    ap.add_argument("--gen", type=int, default=89)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    B = args.batch
+
+    from whisper_tpu.audio import log_mel_spectrogram
+    from whisper_tpu.config import apply_serving_quant, get_config
+    from whisper_tpu.decode import greedy_decode
+    from whisper_tpu.models.whisper import (encoder_forward, init_params,
+                                            quantize_weights_wq)
+    from whisper_tpu.speculative import speculative_decode
+    from whisper_tpu.tokenizer import build_prompt
+    from whisper_tpu.weights import to_device
+
+    def build(name, seed):
+        cfg = apply_serving_quant(
+            get_config(name).replace(compute_dtype="bfloat16"))
+        params = to_device(init_params(cfg, jax.random.PRNGKey(seed)),
+                           jnp.bfloat16)
+        if cfg.weight_quant:
+            params = quantize_weights_wq(params, cfg)
+        return cfg, params
+
+    t_cfg, t_params = build(args.target, 0)
+    d_cfg, d_params = build(args.draft, 3)
+
+    rng = np.random.RandomState(0)
+    t = np.arange(t_cfg.n_samples) / t_cfg.sample_rate
+    audio = np.stack([0.3 * np.sin(2 * np.pi * (200 + 40 * b) * t)
+                      + 0.05 * rng.randn(t_cfg.n_samples)
+                      for b in range(B)]).astype(np.float32)
+    audio = jnp.asarray(audio)
+    t_enc = encoder_forward(t_params, t_cfg,
+                            log_mel_spectrogram(audio, t_cfg))
+    d_enc = encoder_forward(d_params, d_cfg,
+                            log_mel_spectrogram(audio, d_cfg))
+    jax.block_until_ready((t_enc, d_enc))
+    prompt = jnp.asarray(np.tile(build_prompt(t_cfg), (B, 1)), jnp.int32)
+    bias = jnp.zeros((t_cfg.vocab_size,), jnp.float32
+                     ).at[t_cfg.eot_token].set(-1e9)
+
+    def timed(fn, *a, **kw):
+        fn(*a, **kw).tokens.block_until_ready()      # compile+warm
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            fn(*a, **kw).tokens.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    w_greedy = timed(greedy_decode, t_params, t_cfg, t_enc, prompt,
+                     max_new=args.gen - 1, logit_bias=bias)
+    w_upper = timed(speculative_decode, t_params, t_cfg, t_params, t_cfg,
+                    t_enc, t_enc, prompt, max_new=args.gen - 1, k=args.k,
+                    logit_bias=bias)
+    w_lower = timed(speculative_decode, t_params, t_cfg, d_params, d_cfg,
+                    t_enc, d_enc, prompt, max_new=args.gen - 1, k=args.k,
+                    logit_bias=bias)
+
+    per_tok = {r: w / args.gen * 1e3 for r, w in
+               [("greedy", w_greedy), ("spec_upper", w_upper),
+                ("spec_lower", w_lower)]}
+    print(json.dumps({
+        "target": args.target, "draft": args.draft, "batch": B,
+        "k": args.k, "gen": args.gen,
+        "greedy_ms": round(w_greedy * 1e3, 1),
+        "spec_upper_ms": round(w_upper * 1e3, 1),
+        "spec_lower_ms": round(w_lower * 1e3, 1),
+        "per_token_ms": {r: round(v, 3) for r, v in per_tok.items()},
+        "upper_speedup": round(w_greedy / w_upper, 2),
+        "lower_slowdown": round(w_lower / w_greedy, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
