@@ -80,6 +80,17 @@ def main(argv=None) -> int:
                    help="disable the bf16 serving default of weight-only "
                         "int8 + int8 cross-KV (DESIGN.md §29); explicit "
                         "--*-quant flags also suppress the auto default")
+    p.add_argument("--draft-model", default=None,
+                   help="enable speculative decoding with this family "
+                        "member as the draft (same vocab required, e.g. "
+                        "base drafts large-v2, turbo drafts large-v3); "
+                        "tokens are exactly the target's greedy output")
+    p.add_argument("--draft-weights", default=None,
+                   help="npz checkpoint for the draft model")
+    p.add_argument("--draft-flat-bin", default=None,
+                   help="flat-bin weights for the draft model")
+    p.add_argument("--draft-k", type=int, default=4,
+                   help="draft tokens proposed per verify round")
     p.add_argument("--weight-quant", action="store_true",
                    help="weight-only int8 on the decoder's per-step "
                         "weights (bf16 mode only): the dequant fuses into "
@@ -157,6 +168,39 @@ def main(argv=None) -> int:
     from whisper_tpu.native import load_audio
     opts = mel_opts
     wav = load_audio(args.audio, cfg.sample_rate)
+
+    if args.draft_model:
+        # speculative greedy: draft proposes --draft-k tokens per target
+        # verify; output tokens are exactly the target's greedy output
+        # (whisper_tpu/speculative.py; single <=30 s window, greedy only)
+        from whisper_tpu.speculative import spec_transcribe_window
+        if args.beam > 1 or args.temperature > 0 or mel_opts is not None:
+            p.error("--draft-model supports plain greedy only "
+                    "(no beam/temperature/timestamps rules)")
+        if len(wav) > cfg.n_samples:
+            p.error("--draft-model currently transcribes one <=30 s window")
+        d_cfg = get_config(args.draft_model).replace(
+            compute_dtype=cfg.compute_dtype)
+        if args.draft_flat_bin:
+            draft = WhisperPipeline.from_flat_bin(args.draft_flat_bin,
+                                                  d_cfg, args.vocab,
+                                                  quant=quant)
+        elif args.draft_weights:
+            draft = WhisperPipeline.from_npz(args.draft_weights, d_cfg,
+                                             quant=quant)
+        elif args.random_weights:
+            draft = WhisperPipeline.from_random(d_cfg, seed=3, quant=quant)
+        else:
+            p.error("--draft-model needs --draft-weights / --draft-flat-bin "
+                    "(or --random-weights)")
+        r = spec_transcribe_window(pipe, draft, wav, args.language,
+                                   args.task, max_new=args.max_new,
+                                   k=args.draft_k)
+        print(f"timings: {r.timings}")
+        print("tokens:", r.tokens)
+        print("text:", r.text)
+        return 0
+
     r = pipe.transcribe(wav, args.language, args.task, max_new=args.max_new,
                         opts=opts,
                         condition_on_previous=args.condition_on_previous,
