@@ -48,13 +48,13 @@ BACKEND = os.environ.get("WHISPER_TPU_ATTN")     # None = auto
 KV_QUANT = os.environ.get("WHISPER_BENCH_KVQUANT", "0") == "1"
 # "auto" (default) = the WhisperPipeline serving policy (config.
 # apply_serving_quant): bf16 runs weight-only int8 + scale-commuted int8
-# cross-KV — the measured-best config at every family size (DESIGN.md
-# §29); fp32 parity mode stays unquantized. "0"/"1" force.
-_AUTO_Q = DTYPE == "bfloat16"
-CROSS_QUANT = (os.environ.get("WHISPER_BENCH_CROSSQUANT", "auto")
-               .replace("auto", "1" if _AUTO_Q else "0")) == "1"
-WQ = (os.environ.get("WHISPER_BENCH_WQ", "auto")
-      .replace("auto", "1" if _AUTO_Q else "0")) == "1"
+# cross-KV where measured-best (all widths except the d=768 cq carve-out
+# — DESIGN.md §29/§29b); fp32 parity mode stays unquantized. "0"/"1"
+# force. Resolved per-model in main().
+_CROSS_ENV = os.environ.get("WHISPER_BENCH_CROSSQUANT", "auto")
+_WQ_ENV = os.environ.get("WHISPER_BENCH_WQ", "auto")
+CROSS_QUANT = _CROSS_ENV == "1"   # pre-resolution values for the JSON line
+WQ = _WQ_ENV == "1"
 
 
 def make_chained_runner(cfg, params, prompt, gen_tokens: int, G: int,
@@ -114,10 +114,16 @@ def main() -> None:
     from whisper_tpu.tokenizer import build_prompt
 
     model = os.environ.get("WHISPER_BENCH_MODEL", "tiny")
-    cfg = get_config(model).replace(compute_dtype=DTYPE, attn_backend=BACKEND,
-                                    kv_cache_quant=KV_QUANT,
-                                    cross_kv_quant=CROSS_QUANT,
-                                    weight_quant=WQ)
+    from whisper_tpu.config import apply_serving_quant
+    global WQ, CROSS_QUANT
+    base_cfg = get_config(model).replace(compute_dtype=DTYPE,
+                                         attn_backend=BACKEND,
+                                         kv_cache_quant=KV_QUANT)
+    auto = apply_serving_quant(base_cfg)
+    WQ = auto.weight_quant if _WQ_ENV == "auto" else _WQ_ENV == "1"
+    CROSS_QUANT = (auto.cross_kv_quant if _CROSS_ENV == "auto"
+                   else _CROSS_ENV == "1")
+    cfg = base_cfg.replace(cross_kv_quant=CROSS_QUANT, weight_quant=WQ)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if DTYPE == "bfloat16":
         from whisper_tpu.weights import to_device

@@ -76,3 +76,16 @@ def test_auto_quant_pipeline_transcribes(nano_bf16_plain):
         nano_bf16_plain.replace(weight_quant=True, cross_kv_quant=True))
     r_exp = explicit.transcribe_window(audio, max_new=8)
     assert r_auto.tokens == r_exp.tokens
+
+
+def test_policy_768_carveout():
+    """d_model=768 (small) is the one measured width where int8 cross-KV
+    loses e2e (-3.7% at equal chain length, DESIGN.md §29b): the policy
+    keeps weight-only int8 there and skips cq."""
+    from whisper_tpu.config import get_config
+    s = apply_serving_quant(
+        get_config("small").replace(compute_dtype="bfloat16"))
+    assert s.weight_quant and not s.cross_kv_quant
+    m = apply_serving_quant(
+        get_config("medium").replace(compute_dtype="bfloat16"))
+    assert m.weight_quant and m.cross_kv_quant

@@ -220,4 +220,8 @@ def apply_serving_quant(cfg: WhisperConfig) -> WhisperConfig:
         return cfg
     if cfg.weight_quant or cfg.cross_kv_quant or cfg.kv_cache_quant:
         return cfg
-    return cfg.replace(weight_quant=True, cross_kv_quant=True)
+    # d_model=768 (small/small.en) is the one measured width where int8
+    # cross-KV is a small e2e NEGATIVE (−3.7% at the same chain length,
+    # DESIGN.md §29b) — weight-only int8 still wins there, so it keeps wq
+    # alone. Every other width takes both.
+    return cfg.replace(weight_quant=True, cross_kv_quant=cfg.d_model != 768)
