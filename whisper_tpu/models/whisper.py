@@ -787,7 +787,8 @@ def decoder_step_t(params: Params, cfg: WhisperConfig,
 
 
 def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
-                          D: int, dtype) -> jax.Array:
+                          D: int, dtype, q8_cross: bool = False
+                          ) -> jax.Array:
     """q_len==1 self-attention over a READ-ONLY cache plus the current
     token's explicit contribution: softmax over [cache rows where
     strict_mask] ∪ {self}, computed as a two-part online softmax (shared
@@ -818,7 +819,7 @@ def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
         s_s = jnp.einsum("bthd,bhtd->bht", q.astype(f32) * (D ** -0.5),
                          k_new.astype(f32), precision=prec)[..., None]
     else:
-        t8 = _mxu_query_tile(H * q.shape[-1])
+        t8 = _mxu_query_tile(H * q.shape[-1], q8_cross)
         if t8 > 1:
             q8 = jnp.broadcast_to(q, (B, t8, H, q.shape[-1]))
             s_c = jnp.einsum("bthd,bhsd->bhts", q8, k_cache,
@@ -840,7 +841,7 @@ def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
         o = jnp.einsum("bhts,bhsd->bthd", p, v_cache.astype(f32),
                        precision=prec)
     else:
-        t8 = _mxu_query_tile(H * q.shape[-1])
+        t8 = _mxu_query_tile(H * q.shape[-1], q8_cross)
         if t8 > 1:
             p8 = jnp.broadcast_to(p.astype(dtype),
                                   p.shape[:2] + (t8, p.shape[-1]))
@@ -854,7 +855,7 @@ def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
     return o.astype(jnp.dtype(dtype))
 
 
-def _mxu_query_tile(d_model: int) -> int:
+def _mxu_query_tile(d_model: int, q8_cross: bool = False) -> int:
     """Query-tile width for the T==1 decode contractions (bf16 only);
     trace-time env knob WHISPER_TPU_MXU_T overrides. Width-aware default
     (r3 family sweep, DESIGN.md §22/§27): tiling to T=8 flips XLA's
@@ -863,9 +864,15 @@ def _mxu_query_tile(d_model: int) -> int:
     time saved (tiny b32 751 -> 1171 µs/step; base b32 6301 -> 6022
     RTFx), but the VPU term scales with L*H*S and from d_model=768 up
     the tiling WINS big: small b32 1368 -> 1865 RTFx, medium b16 slope
-    8971 -> 6147 µs/step (460 -> 612 RTFx), large-v2 b8 234 -> 301."""
+    8971 -> 6147 µs/step (460 -> 612 RTFx), large-v2 b8 234 -> 301.
+
+    q8_cross: the loop reads int8 cross-KV via the scale-commuted route —
+    there the T==1 VPU lowering ALSO carries the int8->bf16 convert, and
+    tiling wins at every width (tiny b32 repeats 15,333/15,347 ->
+    15,527/15,648 RTFx, DESIGN.md §29b), so the default engages
+    regardless of d_model."""
     import os
-    default = 8 if d_model >= 768 else 0
+    default = 8 if (d_model >= 768 or q8_cross) else 0
     return int(os.environ.get("WHISPER_TPU_MXU_T", str(default)))
 
 
@@ -917,7 +924,7 @@ def _att_cross_q8(q: jax.Array, cross_l: dict[str, jax.Array],
     k, v = cross_l["k"], cross_l["v"]
     ks = cross_l["k_s"][:, :, None, :, 0]                  # (B,H,1,S)
     vs = cross_l["v_s"][:, :, None, :, 0]
-    t8 = _mxu_query_tile(H * D)
+    t8 = _mxu_query_tile(H * D, q8_cross=True)
     if t8 > 1:
         qq = jnp.broadcast_to(q, (B, t8) + q.shape[2:])
         s = jnp.einsum("bthd,bhsd->bhts", qq, k.astype(dtype),
@@ -985,9 +992,13 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
     h = h + dec["pos_emb"][pos_offset][None, None, :].astype(dtype)
     strict_mask = (jnp.arange(S) < pos_offset)[None, None, None, :]
 
+    q8_cross = ("k_s" in cross_kv and jnp.dtype(dtype) != jnp.float32
+                and _q8_cross_mode() == "commute")
+
     def att_self(q, k_cache, v_cache, k_new, v_new):
         return _self_attention_extra(q, k_cache, v_cache, k_new, v_new,
-                                     strict_mask, D, dtype)
+                                     strict_mask, D, dtype,
+                                     q8_cross=q8_cross)
 
     def att_cross(q, cross_l):
         """Cross attention. int8 cross caches: bf16 mode defaults to the
@@ -1165,7 +1176,10 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
             a = merge_heads(_self_attention_extra(
                 q, cache_l["k"].astype(dtype), cache_l["v"].astype(dtype),
                 k_new.astype(dtype), v_new.astype(dtype), strict_mask,
-                cfg.head_dim, dtype))
+                cfg.head_dim, dtype,
+                q8_cross=("k_s" in cross_kv
+                          and jnp.dtype(dtype) != jnp.float32
+                          and _q8_cross_mode() == "commute")))
             ys = (k_new[:, :, 0, :], v_new[:, :, 0, :])
         else:
             cache_l = scatter(cache_l, "k", k_new)
