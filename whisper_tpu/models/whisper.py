@@ -868,11 +868,13 @@ def _mxu_query_tile(d_model: int, q8_cross: bool = False) -> int:
 
     q8_cross: the loop reads int8 cross-KV via the scale-commuted route —
     there the T==1 VPU lowering ALSO carries the int8->bf16 convert, and
-    tiling wins at every width (tiny b32 repeats 15,333/15,347 ->
-    15,527/15,648 RTFx, DESIGN.md §29b), so the default engages
-    regardless of d_model."""
+    the tiling trade moves: it WINS at d=384 (tiny b32 repeat pairs
+    15,333/15,347 -> 15,527/15,648 RTFx) but LOSES at d=512 (base b32
+    wq+cq 7,470 MXU0 vs 6,873 MXU8) — DESIGN.md §29b. The default under
+    q8_cross therefore engages at 384 and stays off at 512 (widths >=768
+    tile regardless)."""
     import os
-    default = 8 if (d_model >= 768 or q8_cross) else 0
+    default = 8 if (d_model >= 768 or (q8_cross and d_model < 512)) else 0
     return int(os.environ.get("WHISPER_TPU_MXU_T", str(default)))
 
 
