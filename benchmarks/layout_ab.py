@@ -128,9 +128,17 @@ def main() -> None:
                             max_new=args.gen - 1)
 
     def wall(fn, *a):
+        # Keep at most 2 outputs in flight: K live stage1 outputs would be
+        # K copies of cross-KV (9.4 GB each at medium b32) — instant OOM.
         t0 = time.perf_counter()
-        outs = [fn(*a) for _ in range(K)]
-        for o in outs:
+        pending = []
+        for _ in range(K):
+            pending.append(fn(*a))
+            if len(pending) > 2:
+                o = pending.pop(0)
+                jax.tree.flatten(o)[0][0].block_until_ready()
+                del o
+        for o in pending:
             jax.tree.flatten(o)[0][0].block_until_ready()
         return (time.perf_counter() - t0) / K
 
@@ -184,9 +192,11 @@ def main() -> None:
     res_b.tokens.block_until_ready()
     out["B_stage1_mem"] = mem(s1_b)
     out["B_loop_mem"] = mem(lp_b)
-    out["B_stage1_ms"] = round(wall(s1_b, params_b, audio, prompt_b) * 1e3, 1)
     out["B_loop_ms"] = round(
         wall(lp_b, params_b, *pre_b, prompt_b, bias_b, key_b) * 1e3, 1)
+    tok_b_arr = np.asarray(res_b.tokens)
+    del pre_b, res_b  # free the big cross-KV buffers before stage1 walls
+    out["B_stage1_ms"] = round(wall(s1_b, params_b, audio, prompt_b) * 1e3, 1)
 
     def both_b():
         p = s1_b(params_b, audio, prompt_b)
@@ -196,10 +206,10 @@ def main() -> None:
     if not args.skip_baseline:
         # token equality across sides (same math, different layouts)
         tok_a = np.asarray(both_a().tokens)
-        tok_b = np.asarray(res_b.tokens)
-        out["tokens_equal"] = bool(np.array_equal(tok_a, tok_b))
+        out["tokens_equal"] = bool(np.array_equal(tok_a, tok_b_arr))
 
     if args.gen2:
+        pre_b = s1_b(params_b, audio, prompt_b)
         def loop2_fn(params, cross, cache, tokens, logits, prompt, bias,
                      key):
             return _greedy_loop(params, cfg, cross, cache, tokens, logits,
