@@ -86,6 +86,12 @@ def main() -> None:
     ap.add_argument("--skip-baseline", action="store_true",
                     help="only compile/measure the pinned side (capacity "
                          "probes where the default side OOMs)")
+    ap.add_argument("--skip-pinned", action="store_true",
+                    help="only the default side: single-dispatch capacity "
+                         "probe for configs the chained sweep OOMs")
+    ap.add_argument("--inflight", type=int, default=2,
+                    help="max outstanding executions in walls (1 = fully "
+                         "serialized; capacity-marginal configs)")
     ap.add_argument("--cpu", action="store_true",
                     help="smoke-test on CPU (repins jax_platforms past the "
                          "axon sitecustomize; timings meaningless)")
@@ -134,7 +140,7 @@ def main() -> None:
         pending = []
         for _ in range(K):
             pending.append(fn(*a))
-            if len(pending) > 2:
+            if len(pending) > args.inflight:
                 o = pending.pop(0)
                 jax.tree.flatten(o)[0][0].block_until_ready()
                 del o
@@ -155,18 +161,29 @@ def main() -> None:
         res.tokens.block_until_ready()
         out["A_stage1_mem"] = mem(s1_a)
         out["A_loop_mem"] = mem(lp_a)
-        out["A_stage1_ms"] = round(wall(s1_a, params, audio, prompt) * 1e3, 1)
         out["A_loop_ms"] = round(
             wall(lp_a, params, *pre, prompt, bias, key) * 1e3, 1)
+        del pre, res  # free cross-KV before stage1 walls hold new copies
+
+        out["A_stage1_ms"] = round(wall(s1_a, params, audio, prompt) * 1e3, 1)
 
         def both_a():
             p = s1_a(params, audio, prompt)
             return lp_a(params, *p, prompt, bias, key)
         out["A_steady_ms"] = round(wall(both_a) * 1e3, 1)
-        del pre, res
+
+    if args.skip_pinned:
+        print(json.dumps(out))
+        return
 
     # ---------- B: loop AUTO inputs, stage1 outputs pinned to match ------
-    lp_auto = jax.jit(loop_fn, in_shardings=Format(Layout.AUTO))
+    # AUTO only on what crosses the stage boundary (cross/cache/tokens/
+    # logits). Weights stay at default layouts: they aren't the hypothesis,
+    # and device_put does not honor non-default layouts for int8 wq arrays
+    # (requests (0,2,1), materializes (0,1,2) → pinned-jit arg mismatch).
+    AUTO = Format(Layout.AUTO)
+    lp_auto = jax.jit(loop_fn, in_shardings=(None, AUTO, AUTO, AUTO, AUTO,
+                                             None, None, None))
     lowered = lp_auto.lower(params, *jax.eval_shape(stage1_fn, params, audio,
                                                     prompt),
                             prompt, bias, key)
@@ -178,13 +195,9 @@ def main() -> None:
         "cache": count_nondefault(cachef),
         "other": count_nondefault((tokf, logf, promptf, biasf, keyf)),
     }
-    # one shared weight copy in the loop's preferred formats
-    params_b = jax.device_put(params, pf)
-    prompt_b = jax.device_put(prompt, promptf)
-    bias_b = jax.device_put(bias, biasf)
-    key_b = jax.device_put(key, keyf)
+    params_b = params
+    prompt_b, bias_b, key_b = prompt, bias, key
     s1_b = jax.jit(stage1_fn,
-                   in_shardings=(pf, None, promptf),
                    out_shardings=(crossf, cachef, tokf, logf)
                    ).lower(params_b, audio, prompt_b).compile()
     pre_b = s1_b(params_b, audio, prompt_b)
