@@ -94,19 +94,31 @@ def main() -> None:
     res.tokens.block_until_ready()
 
     def wall(fn, inp):
+        # bound in-flight outputs: K live stage1 results = K cross-KV
+        # copies (1.8 GB each at small b32) — OOM at medium/small sizes
         t0 = time.perf_counter()
-        outs = [fn(inp) for _ in range(K)]
-        for o in outs:
+        pending = []
+        for _ in range(K):
+            pending.append(fn(inp))
+            if len(pending) > 2:
+                o = pending.pop(0)
+                jax.tree.flatten(o)[0][0].block_until_ready()
+                del o
+        for o in pending:
             jax.tree.flatten(o)[0][0].block_until_ready()
         return (time.perf_counter() - t0) / K
 
-    s1 = wall(stage1, audio)
     lp = wall(loop, pre)
+    s1 = wall(stage1, audio)
 
     # the combined steady drive (what bench.py measures), for the residual
     t0 = time.perf_counter()
-    outs = [loop(stage1(audio)) for _ in range(K)]
-    for o in outs:
+    pending = []
+    for _ in range(K):
+        pending.append(loop(stage1(audio)))
+        if len(pending) > 2:
+            pending.pop(0).tokens.block_until_ready()
+    for o in pending:
         o.tokens.block_until_ready()
     both = (time.perf_counter() - t0) / K
 
