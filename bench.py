@@ -208,7 +208,15 @@ def main() -> None:
     # stage1 outputs fit HBM: the dominant term is the precomputed cross-KV
     # (L_dec x B x H x 1500 x D x2 tensors); small-bf16 at G=8 holds
     # 8 x 1.77 GB of cross-KV -> RESOURCE_EXHAUSTED on the 16 GB chip.
-    G = int(os.environ.get("WHISPER_BENCH_CHAIN", "8"))
+    # Chaining amortizes the ~30 ms tunnel dispatch — decisive at tiny
+    # (§19) but a measured NEGATIVE once per-batch programs reach ~1 s:
+    # large-v2 b16 wq+cq is 370.6 RTFx at chain2 vs 388.6 unchained
+    # steady8 (the chained barrier + extra live cross-KV outrank the
+    # dispatch saving). Default chain off for the 32-layer larges; turbo
+    # (4-layer decoder, tiny-like step times) keeps chain8.
+    default_g = "1" if (cfg.d_model >= 1280 and cfg.n_text_layers >= 32) \
+        else "8"
+    G = int(os.environ.get("WHISPER_BENCH_CHAIN", default_g))
     itemsize = 2 if DTYPE == "bfloat16" else 4
     ckv_elems = (2 * cfg.n_text_layers * BATCH * cfg.n_heads
                  * cfg.n_audio_ctx * (cfg.d_model // cfg.n_heads))
