@@ -36,6 +36,10 @@ def main() -> None:
     p.add_argument("--model", default="tiny")
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--gen-tokens", type=int, default=89)
+    p.add_argument("--wq", action="store_true",
+                   help="weight-only int8 decoder weights (§28)")
+    p.add_argument("--cq", action="store_true",
+                   help="scale-commuted int8 cross-KV (§29)")
     args = p.parse_args()
 
     from whisper_tpu.audio import log_mel_spectrogram
@@ -45,10 +49,15 @@ def main() -> None:
     from whisper_tpu.tokenizer import build_prompt
     from whisper_tpu.weights import to_device
 
-    cfg = get_config(args.model).replace(compute_dtype=args.dtype)
+    cfg = get_config(args.model).replace(compute_dtype=args.dtype,
+                                         weight_quant=args.wq,
+                                         cross_kv_quant=args.cq)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if args.dtype == "bfloat16":
         params = to_device(params, jnp.bfloat16)
+    if args.wq:
+        from whisper_tpu.models.whisper import quantize_weights_wq
+        params = quantize_weights_wq(params, cfg)
     B = args.batch
     prompt = jnp.asarray(np.tile(build_prompt(cfg), (B, 1)), jnp.int32)
     rng = np.random.RandomState(0)
@@ -75,6 +84,7 @@ def main() -> None:
         "metric": f"rtfx_beam{args.beam}_{args.model}_b{B}",
         "value": round(rtfx, 1), "p50_s": round(p50, 4),
         "dtype": args.dtype, "gen_tokens": args.gen_tokens,
+        "weight_quant": args.wq, "cross_quant": args.cq,
     }))
 
 

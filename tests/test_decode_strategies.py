@@ -251,3 +251,35 @@ def test_beam_rejects_temperature(small_cfg):
     with pytest.raises(ValueError, match="beam"):
         beam_decode(params, cfg, enc, prompt, beam_size=2, max_new=4,
                     opts=opts)
+
+
+def test_beam_under_serving_quant(small_cfg):
+    """Beam search runs on the serving-quant stack (weight-only int8 +
+    scale-commuted int8 cross, DESIGN.md §28-§29): beam-1 must equal
+    greedy under the SAME quantized math, and beam-3 must be
+    deterministic with a best score >= beam-1's."""
+    from whisper_tpu.models.whisper import quantize_weights_wq
+    from whisper_tpu.weights import to_device
+
+    cfg = small_cfg.replace(compute_dtype="bfloat16",
+                            weight_quant=True, cross_kv_quant=True)
+    params = to_device(init_params(cfg, jax.random.PRNGKey(3)),
+                       jnp.bfloat16)
+    params = quantize_weights_wq(params, cfg)
+    mel = jax.random.normal(jax.random.PRNGKey(4),
+                            (1, cfg.n_mels, cfg.n_frames)) * 0.5
+    enc = encoder_forward(params, cfg, mel)
+    prompt = jnp.asarray([build_prompt(cfg)], jnp.int32)
+
+    g = greedy_decode(params, cfg, enc, prompt, max_new=6)
+    b1 = beam_decode(params, cfg, enc, prompt, beam_size=1, max_new=6)
+    ng, nb = int(g.lengths[0]), int(b1.lengths[0])
+    assert ng == nb
+    assert np.asarray(g.tokens)[0, :ng].tolist() == \
+        np.asarray(b1.tokens)[0, :nb].tolist()
+
+    b3a = beam_decode(params, cfg, enc, prompt, beam_size=3, max_new=6)
+    b3b = beam_decode(params, cfg, enc, prompt, beam_size=3, max_new=6)
+    np.testing.assert_array_equal(np.asarray(b3a.tokens),
+                                  np.asarray(b3b.tokens))
+    assert float(b3a.sum_logprobs[0]) >= float(b1.sum_logprobs[0]) - 1e-4

@@ -528,11 +528,27 @@ def _beam_loop(params, cfg: WhisperConfig, cross_kv, cache, prefill_logits,
 
     if use_t and not cfg.kv_cache_quant:
         if _loop_step_mode(cfg) == "ip":
+            import os
+
             from whisper_tpu.models.whisper import decoder_step_ip
+
+            # Known XLA miscompile (v5e, 2026-08): the MXU query-tiled
+            # step faults at runtime ("TPU device error - kernel fault")
+            # when wq + commuted-cq are BOTH on and the beam loop's row
+            # count is B*W=40 (greedy at 8/32/40/64 rows and beam at 160
+            # rows are all clean; each quant feature alone is clean).
+            # Tiling only engages at d_model<512 under cq (DESIGN.md
+            # §29b), so force the untiled T==1 form for beam in exactly
+            # that regime; WHISPER_TPU_MXU_T set explicitly wins.
+            beam_mxu_t = None
+            if (cfg.weight_quant and cfg.cross_kv_quant
+                    and cfg.d_model < 512
+                    and os.environ.get("WHISPER_TPU_MXU_T") is None):
+                beam_mxu_t = 0
 
             def beam_step(last, pos, cache):
                 return decoder_step_ip(params, cfg, last, pos, cache,
-                                       cross_kv)
+                                       cross_kv, mxu_t=beam_mxu_t)
         else:
             from whisper_tpu.models.whisper import decoder_step_t
 

@@ -29,7 +29,7 @@ Parity notes:
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -787,8 +787,8 @@ def decoder_step_t(params: Params, cfg: WhisperConfig,
 
 
 def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
-                          D: int, dtype, q8_cross: bool = False
-                          ) -> jax.Array:
+                          D: int, dtype, q8_cross: bool = False,
+                          mxu_t: Optional[int] = None) -> jax.Array:
     """q_len==1 self-attention over a READ-ONLY cache plus the current
     token's explicit contribution: softmax over [cache rows where
     strict_mask] ∪ {self}, computed as a two-part online softmax (shared
@@ -819,7 +819,8 @@ def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
         s_s = jnp.einsum("bthd,bhtd->bht", q.astype(f32) * (D ** -0.5),
                          k_new.astype(f32), precision=prec)[..., None]
     else:
-        t8 = _mxu_query_tile(H * q.shape[-1], q8_cross)
+        t8 = mxu_t if mxu_t is not None else \
+            _mxu_query_tile(H * q.shape[-1], q8_cross)
         if t8 > 1:
             q8 = jnp.broadcast_to(q, (B, t8, H, q.shape[-1]))
             s_c = jnp.einsum("bthd,bhsd->bhts", q8, k_cache,
@@ -841,7 +842,8 @@ def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
         o = jnp.einsum("bhts,bhsd->bthd", p, v_cache.astype(f32),
                        precision=prec)
     else:
-        t8 = _mxu_query_tile(H * q.shape[-1], q8_cross)
+        t8 = mxu_t if mxu_t is not None else \
+            _mxu_query_tile(H * q.shape[-1], q8_cross)
         if t8 > 1:
             p8 = jnp.broadcast_to(p.astype(dtype),
                                   p.shape[:2] + (t8, p.shape[-1]))
@@ -894,7 +896,8 @@ def _q8_cross_mode() -> str:
 
 
 def _att_cross_q8(q: jax.Array, cross_l: dict[str, jax.Array],
-                  D: int, dtype) -> jax.Array:
+                  D: int, dtype,
+                  mxu_t: Optional[int] = None) -> jax.Array:
     """Scale-commuted int8 cross-attention for the T==1 decode step —
     no dequantized K/V tensor ever exists.
 
@@ -926,7 +929,8 @@ def _att_cross_q8(q: jax.Array, cross_l: dict[str, jax.Array],
     k, v = cross_l["k"], cross_l["v"]
     ks = cross_l["k_s"][:, :, None, :, 0]                  # (B,H,1,S)
     vs = cross_l["v_s"][:, :, None, :, 0]
-    t8 = _mxu_query_tile(H * D, q8_cross=True)
+    t8 = mxu_t if mxu_t is not None else \
+        _mxu_query_tile(H * D, q8_cross=True)
     if t8 > 1:
         qq = jnp.broadcast_to(q, (B, t8) + q.shape[2:])
         s = jnp.einsum("bthd,bhsd->bhts", qq, k.astype(dtype),
@@ -951,6 +955,7 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
                     tokens1: jax.Array, pos_offset: jax.Array,
                     kv_cache: dict[str, jax.Array],
                     cross_kv: dict[str, jax.Array],
+                    mxu_t: Optional[int] = None,
                     ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """One T==1 decode step with a READ-ONLY standard-layout cache and a
     single in-place batched append — the serving-mode loop step.
@@ -1000,7 +1005,7 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
     def att_self(q, k_cache, v_cache, k_new, v_new):
         return _self_attention_extra(q, k_cache, v_cache, k_new, v_new,
                                      strict_mask, D, dtype,
-                                     q8_cross=q8_cross)
+                                     q8_cross=q8_cross, mxu_t=mxu_t)
 
     def att_cross(q, cross_l):
         """Cross attention. int8 cross caches: bf16 mode defaults to the
@@ -1010,7 +1015,8 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
         if "k_s" in cross_l:
             mode = _q8_cross_mode()
             if not fp32_mode and mode == "commute":
-                return _att_cross_q8(q.astype(dtype), cross_l, D, dtype)
+                return _att_cross_q8(q.astype(dtype), cross_l, D, dtype,
+                                     mxu_t=mxu_t)
             from whisper_tpu.ops.attention import default_backend
             backend = cfg.attn_backend or default_backend()
             if mode != "deq" and (
