@@ -13,9 +13,10 @@ weights (real checkpoints are unavailable offline; the compute is
 weight-value-independent since the step count is fixed).
 
 Headline config = the serving sweet spot measured on v5e: bfloat16, batch
-32, steady-state stage1-chained dispatch (r3: tiny b32 13,383 RTFx steady
-/ 9,370 sync-p50 at 63.3% SoL after the fused encoder tail + in-place
-cache append + right-sized self cache — DESIGN.md §15, §18-§20, §24).
+32, steady-state stage1-chained dispatch + int8 serving-quant defaults
+(r3 final: tiny b32 15,653 RTFx steady after the fused encoder tail,
+in-place cache append, right-sized self cache, weight-only int8 and
+scale-commuted int8 cross — DESIGN.md §15, §18-§20, §24, §28-§29).
 fp32 batch 8, the token-parity configuration, measured 1530 RTFx in r1;
 env knobs below select any variant (WHISPER_BENCH_PIPELINE=0 restores
 the sync-p50 headline, WHISPER_BENCH_MODEL sweeps the family).
