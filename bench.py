@@ -120,7 +120,7 @@ def main() -> None:
     base_cfg = get_config(model).replace(compute_dtype=DTYPE,
                                          attn_backend=BACKEND,
                                          kv_cache_quant=KV_QUANT)
-    auto = apply_serving_quant(base_cfg)
+    auto = apply_serving_quant(base_cfg, batch=BATCH)
     WQ = auto.weight_quant if _WQ_ENV == "auto" else _WQ_ENV == "1"
     CROSS_QUANT = (auto.cross_kv_quant if _CROSS_ENV == "auto"
                    else _CROSS_ENV == "1")

@@ -78,6 +78,40 @@ def test_auto_quant_pipeline_transcribes(nano_bf16_plain):
     assert r_auto.tokens == r_exp.tokens
 
 
+def test_policy_dtype_object_fp32_passthrough(small_cfg):
+    """A cfg built with a dtype OBJECT (jnp.float32, not the string) must
+    hit the same fp32 passthrough, not fail later in quantize_weights_wq."""
+    cfg = small_cfg.replace(compute_dtype=jnp.float32)
+    assert apply_serving_quant(cfg) is cfg
+
+
+def test_policy_batch_gate_small_batch_tiny_width(nano_bf16_plain):
+    """Below the measured break-even (b<=8 at tiny width, DESIGN.md §29b
+    batch sweep: tiny b8 −3%, b1 wash-to-negative) the auto policy keeps
+    quant OFF; batched serving and unknown batch keep it on."""
+    assert apply_serving_quant(nano_bf16_plain, batch=1) is nano_bf16_plain
+    assert apply_serving_quant(nano_bf16_plain, batch=8) is nano_bf16_plain
+    for batch in (None, 16, 32):
+        cfg = apply_serving_quant(nano_bf16_plain, batch=batch)
+        assert cfg.weight_quant and cfg.cross_kv_quant
+
+
+def test_policy_batch_gate_never_fires_at_wide_widths():
+    """Widths >= 512 keep quant even at small batch (measured wins at b8:
+    large-v2 +18% DESIGN.md §29; base b8 §32b)."""
+    from whisper_tpu.config import get_config
+    for name in ("base", "medium", "large-v2"):
+        cfg = apply_serving_quant(
+            get_config(name).replace(compute_dtype="bfloat16"), batch=1)
+        assert cfg.weight_quant, name
+
+
+def test_pipeline_batch_hint_single_stream(nano_bf16_plain):
+    pipe = WhisperPipeline.from_random(nano_bf16_plain, batch_hint=1)
+    assert not pipe.cfg.weight_quant and not pipe.cfg.cross_kv_quant
+    assert pipe.params["decoder"]["tok_emb"].dtype == jnp.bfloat16
+
+
 def test_policy_768_carveout():
     """d_model=768 (small) is the one measured width where int8 cross-KV
     loses e2e (-3.7% at equal chain length, DESIGN.md §29b): the policy

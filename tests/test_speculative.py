@@ -75,6 +75,23 @@ def test_target_as_draft_matches_greedy(pair):
                            bias=_bias(t_cfg))
 
 
+def test_perfect_draft_round_count_is_minimal(pair):
+    """The draft-cache completeness invariant, pinned behaviorally: with
+    the TARGET as its own draft every window must be fully accepted, so
+    the verify-round count is exactly ceil(max_new / (k+1)). A hole in
+    the draft cache after a fully-accepted round (the d_k row at q+k was
+    once never written) degrades acceptance from round 2 on and inflates
+    this count — tokens stay exact either way, so only the stats see it."""
+    t_cfg, _, t_params, _, t_enc, _, prompt = pair
+    k, max_new = 4, 17
+    _, stats = speculative_decode(
+        t_params, t_cfg, t_params, t_cfg, t_enc, t_enc, prompt,
+        max_new=max_new, k=k, logit_bias=_bias(t_cfg), return_stats=True)
+    assert int(stats["rounds"]) == -(-max_new // (k + 1))  # == 4
+    # every round fully accepted -> k drafts per round
+    assert int(stats["accepted_drafts"]) == int(stats["rounds"]) * k
+
+
 def test_hostile_draft_matches_greedy(pair):
     """A draft with no predictive power (fresh random weights) degrades
     throughput, never tokens."""

@@ -121,13 +121,17 @@ def main(argv=None) -> int:
     if args.weight_quant:
         cfg = cfg.replace(weight_quant=True)
     quant = "off" if args.no_quant else "auto"
+    # the CLI transcribes one file at a time (batch 1): below the quant
+    # break-even at tiny width, so the auto policy keeps quant off there
+    # (DESIGN.md §29b; explicit --*-quant flags still win)
     if args.flat_bin:
         pipe = WhisperPipeline.from_flat_bin(args.flat_bin, cfg, args.vocab,
-                                             quant=quant)
+                                             quant=quant, batch_hint=1)
     elif args.weights:
-        pipe = WhisperPipeline.from_npz(args.weights, cfg, quant=quant)
+        pipe = WhisperPipeline.from_npz(args.weights, cfg, quant=quant,
+                                        batch_hint=1)
     elif args.random_weights:
-        pipe = WhisperPipeline.from_random(cfg, quant=quant)
+        pipe = WhisperPipeline.from_random(cfg, quant=quant, batch_hint=1)
     else:
         p.error("need one of --weights / --flat-bin / --random-weights")
     cfg = pipe.cfg  # auto-quant may have added serving flags

@@ -201,7 +201,8 @@ def get_config(name: str) -> WhisperConfig:
             f"(+ aliases {sorted(ALIASES)})") from None
 
 
-def apply_serving_quant(cfg: WhisperConfig) -> WhisperConfig:
+def apply_serving_quant(cfg: WhisperConfig,
+                        batch: Optional[int] = None) -> WhisperConfig:
     """The measured-best single-chip serving defaults (DESIGN.md §29).
 
     bf16 (serving) mode enables weight-only int8 decoder weights and
@@ -212,13 +213,31 @@ def apply_serving_quant(cfg: WhisperConfig) -> WhisperConfig:
     caller already set a quant flag explicitly (their choice stands).
     Kill switch: WHISPER_TPU_AUTO_QUANT=0. Note sharded (multi-chip)
     paths reject weight_quant params — use explicit flags there.
+
+    `batch`, when known, gates the small-batch regime: at tiny width the
+    quant overheads (per-step scale/convert work) stop amortizing below
+    the measured break-even — tiny b8 −3%, b1 a wash-to-negative
+    (DESIGN.md §29b batch sweep) — so batch ≤ 8 at d_model 384 keeps
+    quant OFF. Widths ≥ 768 win at b8 and up (large-v2 b8 +18%, §29) so
+    they always quantize; the gate covers exactly the measured negative
+    set. batch=None preserves the batched-serving assumption (quant on
+    by width).
     """
     import os
     if os.environ.get("WHISPER_TPU_AUTO_QUANT", "1") != "1":
         return cfg
-    if cfg.compute_dtype == "float32":
+    # normalize: a cfg built with a dtype OBJECT (jnp.float32) must hit
+    # the same fp32 passthrough as the string form, not fail later in
+    # quantize_weights_wq's fp32 rejection
+    import jax.numpy as jnp
+    if jnp.dtype(cfg.compute_dtype) == jnp.float32:
         return cfg
     if cfg.weight_quant or cfg.cross_kv_quant or cfg.kv_cache_quant:
+        return cfg
+    # small-batch gate (measured negative set only): tiny-width quant at
+    # b≤8 costs 0-3% — the per-step scale/convert work stops amortizing
+    # (DESIGN.md §29b batch sweep)
+    if batch is not None and batch <= 8 and cfg.d_model <= 384:
         return cfg
     # d_model=768 (small/small.en) is the one measured width where int8
     # cross-KV is a small e2e NEGATIVE (−3.7% at the same chain length,

@@ -65,20 +65,24 @@ class WhisperPipeline:
     def __init__(self, cfg: WhisperConfig | str, params,
                  tokenizer: Optional[Tokenizer] = None,
                  alignment_heads: Optional[Sequence[tuple]] = None,
-                 quant: str = "auto"):
+                 quant: str = "auto",
+                 batch_hint: Optional[int] = None):
         """quant: "auto" (default) applies the measured-best single-chip
         serving quantization for the cfg's dtype — bf16 gains weight-only
         int8 + scale-commuted int8 cross-KV, a stacked e2e win at every
         family size (DESIGN.md §29); fp32 token-parity mode and any cfg
         with an explicitly-set quant flag pass through unchanged. "off"
         respects the cfg exactly as given (also: WHISPER_TPU_AUTO_QUANT=0).
+        batch_hint: expected serving batch when the caller knows it —
+        below the measured break-even (b≤8 at tiny width, DESIGN.md §29b)
+        the auto policy keeps quant off; None assumes batched serving.
         """
         self.cfg = get_config(cfg) if isinstance(cfg, str) else cfg
         if quant not in ("auto", "off"):
             raise ValueError(f"quant must be 'auto' or 'off', got {quant!r}")
         if quant == "auto":
             from whisper_tpu.config import apply_serving_quant
-            self.cfg = apply_serving_quant(self.cfg)
+            self.cfg = apply_serving_quant(self.cfg, batch=batch_hint)
         # serving contract: a non-fp32 compute dtype stores the weights in
         # that dtype too (halves weight HBM; the models cast at use-sites
         # but a carried fp32 tree would poison scan carries to fp32)
@@ -100,7 +104,8 @@ class WhisperPipeline:
     @classmethod
     def from_flat_bin(cls, path: str, model="tiny",
                       vocab_path: Optional[str] = None,
-                      quant: str = "auto") -> "WhisperPipeline":
+                      quant: str = "auto",
+                      batch_hint: Optional[int] = None) -> "WhisperPipeline":
         """Load a reference-format headerless fp32 weight blob
         (SURVEY.md §2.5 contract)."""
         from whisper_tpu.alignment import find_alignment_heads
@@ -108,25 +113,29 @@ class WhisperPipeline:
         params = weights_lib.from_flat_bin_path(path, cfg)
         return cls(cfg, weights_lib.to_device(params),
                    Tokenizer(vocab_path, config=cfg),
-                   alignment_heads=find_alignment_heads(path), quant=quant)
+                   alignment_heads=find_alignment_heads(path), quant=quant,
+                   batch_hint=batch_hint)
 
     @classmethod
     def from_npz(cls, path: str, model="tiny",
-                 quant: str = "auto") -> "WhisperPipeline":
+                 quant: str = "auto",
+                 batch_hint: Optional[int] = None) -> "WhisperPipeline":
         from whisper_tpu.alignment import find_alignment_heads
         cfg = get_config(model) if isinstance(model, str) else model
         params = weights_lib.load_npz(path, cfg)
         return cls(cfg, weights_lib.to_device(params),
-                   alignment_heads=find_alignment_heads(path), quant=quant)
+                   alignment_heads=find_alignment_heads(path), quant=quant,
+                   batch_hint=batch_hint)
 
     @classmethod
     def from_random(cls, model="tiny", seed: int = 0,
-                    quant: str = "auto") -> "WhisperPipeline":
+                    quant: str = "auto",
+                    batch_hint: Optional[int] = None) -> "WhisperPipeline":
         """Random weights — for benchmarks and tests without checkpoints."""
         from whisper_tpu.models.whisper import init_params
         cfg = get_config(model) if isinstance(model, str) else model
         return cls(cfg, init_params(cfg, jax.random.PRNGKey(seed)),
-                   quant=quant)
+                   quant=quant, batch_hint=batch_hint)
 
     # ---- decode options ----
     def make_options(self, timestamps: bool = False,

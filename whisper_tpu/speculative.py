@@ -19,6 +19,11 @@ draft rows leave stale K/V in both caches; that is safe by construction:
 reads are masked to `kv_len = pos_offset + T` of the current call, and
 every later window rewrites exactly the columns it needs before reading
 them (positions are written when consumed, DUS at the row's own offset).
+One position needs explicit care: the draft scan feeds `last, d_1..
+d_{k-1}` (rows q..q+k-1) but never d_k, so on FULL acceptance (m == k)
+the next round would read a never-written draft row at q+k. A
+`lax.cond`-gated T=1 draft pass writes that row exactly when m == k
+(when m < k the next round's scan rewrites it before any read).
 
 Natural family pairs (same vocab + special-token layout, enforced):
 tiny/base/small -> medium/large-v2 (51,865), and large-v3-turbo ->
@@ -110,11 +115,12 @@ def _spec_decode_jit(t_params, t_cfg: WhisperConfig,
     # yet in either cache); n = tokens emitted AFTER the first pick
     # (greedy's max_new counts loop tokens after the prefill argmax).
     def cond(state):
-        q, n, tokens, t_cache, d_cache, finished, sum_lp = state
+        q, n, *_, finished, _lp, _r, _a = state
         return (n < max_new) & ~jnp.all(finished)
 
     def body(state):
-        q, n, tokens, t_cache, d_cache, finished, sum_lp = state
+        (q, n, tokens, t_cache, d_cache, finished, sum_lp,
+         rounds, accepted) = state
 
         # 1) draft k tokens autoregressively (T=1 steps)
         def draft_step(carry, i):
@@ -161,27 +167,42 @@ def _spec_decode_jit(t_params, t_cfg: WhisperConfig,
                 & (n + j < max_new))
         sum_lp = sum_lp + jnp.sum(jnp.where(emit, tok_lp, 0.0), axis=1)
 
+        # full acceptance leaves the draft cache with a hole at q+k (d_k
+        # was drafted but never fed); fill it so the next round's draft
+        # attends over a complete prefix — otherwise acceptance silently
+        # degrades in exactly the high-acceptance regime speculation
+        # exists for. m < k needs nothing: rows q+m+1..q+m+k are
+        # rewritten by the next scan before any read.
+        d_cache = jax.lax.cond(
+            m == k,
+            lambda c: decoder_forward(d_params, d_cfg, drafts[:, k - 1:k],
+                                      q + k, c, d_cross)[1],
+            lambda c: c,
+            d_cache)
+
         tokens = jax.lax.dynamic_update_slice(tokens, slab, (0, q + 1))
         # only the ACCEPTED window (j <= m) can finish a row — positions
         # beyond m are EOT *padding*, rewritten by the next window
         finished = finished | jnp.any((slab == eot) & (j <= m), axis=1)
         return (q + m + 1, n + m + 1, tokens, t_cache, d_cache,
-                finished, sum_lp)
+                finished, sum_lp, rounds + 1, accepted + m)
 
     state = (jnp.int32(P), jnp.int32(0), tokens, t_cache, d_cache,
-             finished0, sum_lp0)
-    _, _, tokens, _, _, _, sum_lp = jax.lax.while_loop(cond, body, state)
+             finished0, sum_lp0, jnp.int32(0), jnp.int32(0))
+    (_, _, tokens, _, _, _, sum_lp, rounds,
+     accepted) = jax.lax.while_loop(cond, body, state)
 
     tokens = tokens[:, :P + 1 + max_new]
-    return DecodeResult(tokens=tokens, lengths=_lengths(tokens, P, eot),
-                        sum_logprobs=sum_lp, no_speech_prob=no_speech_prob)
+    res = DecodeResult(tokens=tokens, lengths=_lengths(tokens, P, eot),
+                       sum_logprobs=sum_lp, no_speech_prob=no_speech_prob)
+    return res, {"rounds": rounds, "accepted_drafts": accepted}
 
 
 def speculative_decode(t_params, t_cfg: WhisperConfig,
                        d_params, d_cfg: WhisperConfig,
                        t_enc_out, d_enc_out, prompt,
                        max_new: Optional[int] = None, k: int = 4,
-                       logit_bias=None) -> DecodeResult:
+                       logit_bias=None, return_stats: bool = False):
     """Greedy decode of the TARGET model, accelerated by a draft model.
 
     Tokens are exactly equal to `greedy_decode(t_params, t_cfg, ...)`
@@ -189,15 +210,22 @@ def speculative_decode(t_params, t_cfg: WhisperConfig,
     dispatch pattern, never the output. Prompt must already be the
     shared-token-space prompt (build_prompt gives identical ids for a
     valid pair). k: draft tokens per round (static; 4–8 typical).
+
+    return_stats=True additionally returns `{"rounds", "accepted_drafts"}`
+    (scalar int32 arrays) — verify rounds executed and total accepted
+    draft tokens; acceptance rate = accepted_drafts / (rounds * k). The
+    benchmarking surface `benchmarks/spec_bench.py` builds its measured
+    envelope from these.
     """
     _check_pair(t_cfg, d_cfg)
     if max_new is None:
         max_new = t_cfg.max_new_tokens
     if k < 1:
         raise ValueError("k must be >= 1")
-    return _spec_decode_jit(t_params, t_cfg, d_params, d_cfg,
-                            t_enc_out, d_enc_out, prompt,
-                            logit_bias, k=int(k), max_new=int(max_new))
+    res, stats = _spec_decode_jit(t_params, t_cfg, d_params, d_cfg,
+                                  t_enc_out, d_enc_out, prompt,
+                                  logit_bias, k=int(k), max_new=int(max_new))
+    return (res, stats) if return_stats else res
 
 
 def spec_transcribe_window(target, draft, audio, language: str = "en",
@@ -230,10 +258,13 @@ def spec_transcribe_window(target, draft, audio, language: str = "en",
     if language == "auto":
         language = target.detect_language(t_enc)
     prompt = jnp.asarray([build_prompt(t_cfg, language, task)], jnp.int32)
-    t_enc.block_until_ready()
+    # block on BOTH frontends so the draft's mel+encoder cost lands in
+    # encode_s, not smeared into the decode timing
+    jax.block_until_ready((t_enc, d_enc))
     t1 = time.perf_counter()
-    res = speculative_decode(target.params, t_cfg, draft.params, d_cfg,
-                             t_enc, d_enc, prompt, max_new=max_new, k=k)
+    res, stats = speculative_decode(target.params, t_cfg, draft.params,
+                                    d_cfg, t_enc, d_enc, prompt,
+                                    max_new=max_new, k=k, return_stats=True)
     res.tokens.block_until_ready()
     t2 = time.perf_counter()
     n = int(res.lengths[0])
@@ -242,4 +273,6 @@ def spec_transcribe_window(target, draft, audio, language: str = "en",
         text=target.tokenizer.decode(ids),
         tokens=ids,
         timings={"encode_s": t1 - t0, "decode_s": t2 - t1,
-                 "total_s": t2 - t0, "draft_k": k})
+                 "total_s": t2 - t0, "draft_k": k,
+                 "verify_rounds": int(stats["rounds"]),
+                 "accepted_drafts": int(stats["accepted_drafts"])})
