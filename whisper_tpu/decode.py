@@ -532,14 +532,15 @@ def _beam_loop(params, cfg: WhisperConfig, cross_kv, cache, prefill_logits,
 
             from whisper_tpu.models.whisper import decoder_step_ip
 
-            # Known XLA miscompile (v5e, 2026-08): the MXU query-tiled
-            # step faults at runtime ("TPU device error - kernel fault")
-            # when wq + commuted-cq are BOTH on and the beam loop's row
-            # count is B*W=40 (greedy at 8/32/40/64 rows and beam at 160
-            # rows are all clean; each quant feature alone is clean).
-            # Tiling only engages at d_model<512 under cq (DESIGN.md
-            # §29b), so force the untiled T==1 form for beam in exactly
-            # that regime; WHISPER_TPU_MXU_T set explicitly wins.
+            # Measured beam-loop perf default (DESIGN.md §31): beam rows
+            # B*W >= 40 already saturate the MXU dot, so the query-tile
+            # broadcast only adds HBM traffic — untiled measured FASTER
+            # at tiny (1,759 vs 1,685 RTFx b32). Historically this also
+            # guarded a real XLA miscompile (kernel fault at
+            # wq+cq+tiled+40 rows) — fixed in the current toolchain per
+            # benchmarks/repro_beam_fault.py (r4: 3/3 clean); the canary
+            # re-checks on every compiler update. WHISPER_TPU_MXU_T set
+            # explicitly wins.
             beam_mxu_t = None
             if (cfg.weight_quant and cfg.cross_kv_quant
                     and cfg.d_model < 512

@@ -97,9 +97,14 @@ def make_handler(transcriber, cfg, stats: _Stats):
             if path == "/healthz":
                 self._json(200, {"status": "ok", "model": cfg.name})
             elif path == "/v1/stats":
+                extra = {}
+                b = getattr(transcriber, "_b", None)
+                if b is not None and hasattr(b, "queue_stats"):
+                    extra["queue"] = b.queue_stats()   # continuous engine
                 self._json(200, {**stats.snapshot(),
                                  "max_batch": transcriber.max_batch,
-                                 "max_wait_ms": transcriber.max_wait_s * 1e3})
+                                 "max_wait_ms": transcriber.max_wait_s * 1e3,
+                                 **extra})
             else:
                 self._json(404, {"error": f"no such path: {path}"})
 
@@ -153,6 +158,16 @@ def make_handler(transcriber, cfg, stats: _Stats):
             except Exception as e:          # engine-side failure
                 with stats.lock:
                     stats.failed += 1
+                from whisper_tpu.serving_continuous import QueueFull
+                if isinstance(e, QueueFull):   # admission bound: backpressure
+                    self.send_response(503)
+                    self.send_header("Retry-After", "1")
+                    body = json.dumps({"error": str(e)}).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 self._json(500, {"error": str(e)})
 
         def _sse(self, audio, language, task):
@@ -448,6 +463,11 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--sync-every", type=int, default=1,
                    help="continuous engine: device steps per host readback "
                         "(>1 pipelines dispatch; +K tokens stream latency)")
+    p.add_argument("--max-queue", type=int, default=64,
+                   help="continuous engine admission bound: submits beyond "
+                        "this queue depth get HTTP 503 + Retry-After "
+                        "(backpressure beats unbounded latency); 0 = "
+                        "unbounded")
     p.add_argument("--engine", choices=["dynamic", "continuous"],
                    default="dynamic",
                    help="dynamic: whole-request batches (serving.py); "
@@ -484,7 +504,8 @@ def main(argv: Optional[list] = None) -> int:
         bt = ContinuousEngine(ContinuousBatcher(
             pipe.params, pipe.cfg, max_slots=args.max_batch,
             max_new=args.max_new, tokenizer=pipe.tokenizer,
-            sync_every=args.sync_every))
+            sync_every=args.sync_every,
+            max_queue=args.max_queue or None))
     else:
         bt = BatchedTranscriber(pipe.params, pipe.cfg, pipe.tokenizer,
                                 max_batch=args.max_batch,

@@ -160,12 +160,20 @@ def _engine_step(params, cfg: WhisperConfig, state,
         state, None, length=k)[0]
 
 
+class QueueFull(RuntimeError):
+    """Admission bound hit: the engine's wait queue is at max_queue.
+
+    Raised by submit() so callers get backpressure at enqueue time
+    instead of unbounded latency (the HTTP server maps this to 503)."""
+
+
 @dataclasses.dataclass
 class _Slot:
     request_id: int
     callback: Optional[Callable]
     on_token: Optional[Callable] = None
     emitted: int = 0                 # tokens already streamed
+    cancelled: bool = False          # harvest frees the slot silently
 
 
 class ContinuousBatcher:
@@ -177,12 +185,23 @@ class ContinuousBatcher:
                  max_new: Optional[int] = None,
                  tokenizer: Optional[Tokenizer] = None,
                  opts: Optional[DecodeOptions] = None,
-                 sync_every: int = 1):
+                 sync_every: int = 1,
+                 max_queue: Optional[int] = None):
         self.cfg = get_config(cfg) if isinstance(cfg, str) else cfg
         self.params = params
         self.tokenizer = tokenizer or Tokenizer(config=self.cfg)
         self.B = int(max_slots)
         self.opts = opts
+        # Admission policy (documented contract): FIFO — a request waits
+        # for the next free slot; nothing running is displaced (slots
+        # cannot abort mid-step; long-form files yield naturally at
+        # window boundaries because every window is a fresh FIFO submit,
+        # so queued short requests interleave between a long file's
+        # windows rather than starving behind it). max_queue bounds the
+        # wait line: submit() raises QueueFull beyond it (backpressure
+        # beats unbounded latency for production callers). Queue-wait
+        # telemetry: queue_stats().
+        self.max_queue = max_queue
         # device steps per host sync (pos/finished readback). 1 = harvest
         # and stream at token granularity. >1 enqueues K steps back-to-back
         # before reading state — JAX async dispatch then overlaps the
@@ -200,10 +219,16 @@ class ContinuousBatcher:
         self.total = cfg.n_text_ctx
         self.state = self._fresh_state()
         self._slots: list[Optional[_Slot]] = [None] * self.B
-        # queue entries: (rid, audio, (language, task), callback, on_token)
+        # queue entries: (rid, audio, (language, task), callback, on_token,
+        #                 seed, prev, t_submit)
         self._queue: list[tuple] = []
         self._next_id = 0
         self._results: dict[int, list[int]] = {}
+        # queue-wait telemetry (seconds from submit to slot entry); the
+        # recent-waits window bounds memory under long uptimes
+        self._waits: list[float] = []
+        self._max_wait_s = 0.0
+        self._served = 0
 
     def _fresh_state(self) -> dict:
         """Build a zeroed device-state pytree. Used at init and for fault
@@ -253,7 +278,8 @@ class ContinuousBatcher:
                callback: Optional[Callable] = None,
                on_token: Optional[Callable] = None,
                seed: Optional[int] = None,
-               prev_tokens: Optional[list] = None) -> int:
+               prev_tokens: Optional[list] = None,
+               admitted: bool = False) -> int:
         """Queue a request; returns its id. Final tokens are delivered via
         callback(request_id, token_ids) and run_until_idle()'s dict;
         on_token(request_id, token_id) streams each generated token as it
@@ -261,7 +287,17 @@ class ContinuousBatcher:
         sampling stream when opts.temperature > 0 (default: the request id).
         `prev_tokens` prepends <|startofprev|> conditioning (long prompts
         cost O(1) engine steps — the batched prefill fills the cache in one
-        decoder pass)."""
+        decoder pass). Raises QueueFull when max_queue is set and the wait
+        line is at the bound — except for `admitted` submits (follow-up
+        windows of a long-form file already receiving service: bouncing a
+        mid-file window would corrupt its transcript, and the file's slot
+        pressure is bounded at one window at a time)."""
+        import time
+        if (not admitted and self.max_queue is not None
+                and len(self._queue) >= self.max_queue):
+            raise QueueFull(
+                f"engine queue is at max_queue={self.max_queue} "
+                f"({self.B} slots all busy); retry later")
         rid = self._next_id
         self._next_id += 1
         prev = list(prev_tokens or [])
@@ -271,8 +307,43 @@ class ContinuousBatcher:
         # computed there anyway); store the request spec as-is
         self._queue.append((rid, np.asarray(audio, np.float32),
                             (language, task), callback, on_token,
-                            rid if seed is None else int(seed), prev))
+                            rid if seed is None else int(seed), prev,
+                            time.monotonic()))
         return rid
+
+    def cancel(self, rid: int) -> str:
+        """Best-effort cancel of request rid. Returns where it was caught:
+        "queued" (removed before ever touching the device), "active" (its
+        slot is marked finished — the row idles from the next step and the
+        harvest frees it without delivering results), or "done" (already
+        finished/unknown: no-op). Slots cannot abort mid-step (the step is
+        one compiled program), so an active cancel costs at most the
+        in-flight steps of the current sync window."""
+        for i, req in enumerate(self._queue):
+            if req[0] == rid:
+                del self._queue[i]
+                return "queued"
+        for b, slot in enumerate(self._slots):
+            if slot is not None and slot.request_id == rid:
+                slot.cancelled = True
+                slot.callback = None
+                slot.on_token = None
+                s = self.state
+                self.state = {**s,
+                              "finished": s["finished"].at[b].set(True)}
+                return "active"
+        return "done"
+
+    def queue_stats(self) -> dict:
+        """Admission telemetry: current queue depth, served count, and
+        queue-wait (submit -> slot entry) max/p50 in seconds."""
+        waits = self._waits
+        return {
+            "depth": len(self._queue),
+            "served": self._served,
+            "max_wait_s": self._max_wait_s,
+            "p50_wait_s": float(np.median(waits)) if waits else 0.0,
+        }
 
     # ---- engine ----
     _P_BUCKETS = (8, 16, 32, 64, 128, 256, 448)
@@ -283,12 +354,21 @@ class ContinuousBatcher:
         cache prefill (_prefill_join) — slot-fill cost is flat in both the
         number of arrivals and the prompt length. Prompt lengths are
         bucketed so the prefill executable count stays bounded."""
+        import time
         cfg = self.cfg
         free = [b for b in range(self.B) if self._slots[b] is None]
         if not free or not self._queue:
             return
         take = self._queue[:len(free)]
         del self._queue[:len(take)]
+        now = time.monotonic()
+        for req in take:
+            w = now - req[7]
+            self._waits.append(w)
+            if w > self._max_wait_s:
+                self._max_wait_s = w
+        if len(self._waits) > 1024:          # bounded telemetry window
+            del self._waits[:-1024]
 
         audio = np.zeros((self.B, cfg.n_samples), np.float32)
         for i, req in enumerate(take):
@@ -313,7 +393,7 @@ class ContinuousBatcher:
         cap_v = np.zeros((len(take),), np.int32)
         seed_v = np.zeros((len(take),), np.uint32)
         for i, (rid, _, (language, task), cb, on_tok, seed,
-                prev) in enumerate(take):
+                prev, _t_sub) in enumerate(take):
             b = free[i]
             if language == "auto":
                 language = LANGUAGES[int(lang_probs[i].argmax())]
@@ -387,10 +467,12 @@ class ContinuousBatcher:
             slot = self._slots[b]
             if slot is None or not finished[b]:
                 continue
-            ids = tokens[b, :pos[b]].tolist()
-            self._results[slot.request_id] = ids
-            if slot.callback:
-                slot.callback(slot.request_id, ids)
+            if not slot.cancelled:
+                ids = tokens[b, :pos[b]].tolist()
+                self._results[slot.request_id] = ids
+                if slot.callback:
+                    slot.callback(slot.request_id, ids)
+                self._served += 1
             self._slots[b] = None
             s = {**s, "active": s["active"].at[b].set(False),
                  "finished": s["finished"].at[b].set(False)}

@@ -136,10 +136,13 @@ class LongFormDriver:
             if st.on_token is not None:
                 on_tok = (lambda _rid, tid, f=fid, cb=st.on_token:
                           cb(f, tid))
+            # windows after the first bypass the admission bound (the
+            # file is already receiving service; see submit(admitted=))
             rid = self.b.submit(chunk, st.language, st.task,
                                 callback=self._on_window,
                                 on_token=on_tok,
-                                prev_tokens=list(st.prev))
+                                prev_tokens=list(st.prev),
+                                admitted=st.windows > 0)
             self._rid_to_fid[rid] = fid
             return
         self._finish(fid)
