@@ -35,17 +35,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _slope(fn, x, n1: int, n2: int):
+def _slope(fn, x, n1: int, n2: int, params=None):
     """Seconds per scan step: run chains of n1 and n2 steps, slope cancels
-    the dispatch + compile-adjacent fixed costs."""
-    f1 = jax.jit(functools.partial(fn, steps=n1))
-    f2 = jax.jit(functools.partial(fn, steps=n2))
-    f1(x).block_until_ready()   # compile
-    f2(x).block_until_ready()
+    the dispatch + compile-adjacent fixed costs. `params`, when given, is
+    threaded as an explicit jit ARGUMENT — closed-over weights get
+    embedded in the serialized program shipped to the remote AOT compiler
+    (HTTP 413 at medium+; same lesson as bench.py)."""
+    if params is None:
+        f1 = jax.jit(functools.partial(fn, steps=n1))
+        f2 = jax.jit(functools.partial(fn, steps=n2))
+        a = (x,)
+    else:
+        f1 = jax.jit(functools.partial(fn, steps=n1))
+        f2 = jax.jit(functools.partial(fn, steps=n2))
+        a = (params, x)
+    f1(*a).block_until_ready()   # compile
+    f2(*a).block_until_ready()
     t0 = time.perf_counter()
-    f1(x).block_until_ready()
+    f1(*a).block_until_ready()
     t1 = time.perf_counter()
-    f2(x).block_until_ready()
+    f2(*a).block_until_ready()
     t2 = time.perf_counter()
     return ((t2 - t1) - (t1 - t0)) / (n2 - n1)
 
@@ -144,12 +153,12 @@ def e2e(model: str, batch: int, n1: int, n2: int):
     mel = jnp.asarray(rng.randn(batch, cfg.n_mels, cfg.n_frames)
                       .astype(np.float32) * 0.5, jnp.bfloat16)
 
-    def enc_chain(m, steps: int):
+    def enc_chain(p, m, steps: int):
         def body(h, _):
-            e = encoder_forward(params, cfg, h)
+            e = encoder_forward(p, cfg, h)
             # feed a mel-shaped mix back in so the chain is data-dependent
             upd = jnp.mean(e) * 1e-3
-            return h + upd, None
+            return h + upd.astype(h.dtype), None
         h, _ = jax.lax.scan(body, m, None, length=steps)
         return h
 
@@ -158,7 +167,7 @@ def e2e(model: str, batch: int, n1: int, n2: int):
             os.environ.pop("WHISPER_TPU_ENC_I8", None)
         else:
             os.environ["WHISPER_TPU_ENC_I8"] = env
-        s = _slope(enc_chain, mel, n1, n2)
+        s = _slope(enc_chain, mel, n1, n2, params=params)
         audio_s = batch * cfg.chunk_length_s
         print(f"  {mode:14s}: {s*1e3:8.2f} ms/encode  "
               f"(encoder-phase RTFx {audio_s/s:,.0f})", flush=True)

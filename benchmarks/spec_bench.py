@@ -90,26 +90,55 @@ def main() -> None:
                      ).at[t_cfg.eot_token].set(-1e9)
 
     def timed(fn, *a, **kw):
-        fn(*a, **kw).tokens.block_until_ready()      # compile+warm
-        best = float("inf")
+        def split(out):
+            # DecodeResult is itself a NamedTuple; (result, stats) pairs
+            # are plain 2-tuples from return_stats=True
+            if hasattr(out, "tokens"):
+                return out, None
+            return out[0], {k: int(v) for k, v in out[1].items()}
+        res, _ = split(fn(*a, **kw))
+        res.tokens.block_until_ready()               # compile+warm
+        best, stats = float("inf"), None
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            fn(*a, **kw).tokens.block_until_ready()
+            res, st = split(fn(*a, **kw))
+            res.tokens.block_until_ready()
             best = min(best, time.perf_counter() - t0)
-        return best
+            stats = st or stats
+        return best, stats
 
-    w_greedy = timed(greedy_decode, t_params, t_cfg, t_enc, prompt,
-                     max_new=args.gen - 1, logit_bias=bias)
-    w_upper = timed(speculative_decode, t_params, t_cfg, t_params, t_cfg,
-                    t_enc, t_enc, prompt, max_new=args.gen - 1, k=args.k,
-                    logit_bias=bias)
-    w_lower = timed(speculative_decode, t_params, t_cfg, d_params, d_cfg,
-                    t_enc, d_enc, prompt, max_new=args.gen - 1, k=args.k,
-                    logit_bias=bias)
+    w_greedy, _ = timed(greedy_decode, t_params, t_cfg, t_enc, prompt,
+                        max_new=args.gen - 1, logit_bias=bias)
+    w_upper, st_up = timed(speculative_decode, t_params, t_cfg, t_params,
+                           t_cfg, t_enc, t_enc, prompt,
+                           max_new=args.gen - 1, k=args.k,
+                           logit_bias=bias, return_stats=True)
+    w_lower, st_lo = timed(speculative_decode, t_params, t_cfg, d_params,
+                           d_cfg, t_enc, d_enc, prompt,
+                           max_new=args.gen - 1, k=args.k,
+                           logit_bias=bias, return_stats=True)
 
     per_tok = {r: w / args.gen * 1e3 for r, w in
                [("greedy", w_greedy), ("spec_upper", w_upper),
                 ("spec_lower", w_lower)]}
+    # Break-even per-token draft agreement a*: a spec round costs
+    # ~w_lower/rounds_lower (every lower-bound round emits 1 token) and
+    # emits E[m]+1 = sum_{i=0..k} a^i tokens in expectation under lockstep
+    # acceptance. Solve sum a^i = round_cost / greedy_per_token.
+    g = w_greedy / args.gen
+    round_cost = w_lower / max(st_lo["rounds"], 1)
+    need = round_cost / g
+    k = args.k
+    a_star = None
+    if need <= 1.0:
+        a_star = 0.0                     # spec wins even at zero acceptance
+    elif need < k + 1:
+        lo, hi = 0.0, 1.0
+        for _ in range(60):              # bisect sum_{i=0..k} a^i = need
+            mid = (lo + hi) / 2
+            s = sum(mid ** i for i in range(k + 1))
+            lo, hi = (mid, hi) if s < need else (lo, mid)
+        a_star = (lo + hi) / 2
     print(json.dumps({
         "target": args.target, "draft": args.draft, "batch": B,
         "k": args.k, "gen": args.gen,
@@ -119,6 +148,12 @@ def main() -> None:
         "per_token_ms": {r: round(v, 3) for r, v in per_tok.items()},
         "upper_speedup": round(w_greedy / w_upper, 2),
         "lower_slowdown": round(w_lower / w_greedy, 2),
+        "rounds_upper": st_up["rounds"], "rounds_lower": st_lo["rounds"],
+        "accepted_upper": st_up["accepted_drafts"],
+        "accepted_lower": st_lo["accepted_drafts"],
+        "round_cost_ms": round(round_cost * 1e3, 3),
+        "breakeven_acceptance": (None if a_star is None
+                                 else round(a_star, 3)),
         "device": str(jax.devices()[0]),
     }))
 

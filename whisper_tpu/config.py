@@ -65,6 +65,14 @@ class WhisperConfig:
     # 0.8-1.6 GB bf16. Engaged by WhisperPipeline at load; bench knob
     # WHISPER_BENCH_WQ=1.
     weight_quant: bool = False
+    # int8 MXU encoder matmuls (serving/bf16 mode): dynamic per-token
+    # activation quant x per-output-column weight quant, s8xs8 MXU dots
+    # with int32 accumulate for the encoder's QKV/o/fc1/fc2 projections
+    # (DESIGN.md §32). The encoder at d_model >= 1024 is compute-bound
+    # (~36-40% MXU utilization) and v5e int8 MXU peak is ~2x bf16 — the
+    # opposite regime from the decode loop where weight-dequant streaming
+    # won (§28). Env override: WHISPER_TPU_ENC_I8=0|1.
+    encoder_quant: bool = False
     # Fused decoder-step megakernel (ops/decoder_step.py): one Pallas
     # program per greedy decode step instead of ~60 XLA fusions. None =
     # auto (currently OFF: token-identical on v5e but slower than the XLA

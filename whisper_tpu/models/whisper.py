@@ -108,6 +108,64 @@ def qkv_fused(y: jax.Array, attn: Params, n_heads: int
             split_heads_hm(v, n_heads))
 
 
+def _rowquant_dyn(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dynamic per-token (last-axis) symmetric int8 for ACTIVATIONS:
+    (..., K) -> (int8 values, f32 scales (..., 1)). Scales are data-
+    dependent, computed in-graph each call (unlike weight scales, which
+    are static per checkpoint)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                    1e-10)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def linear_i8dyn(x: jax.Array, p: Params, dtype) -> jax.Array:
+    """s8 x s8 MXU dot: dynamic per-token activation quant x per-output-
+    column weight quant, int32 accumulate, exact rescale on the output.
+
+    The ENCODER's serving-mode matmul (cfg.encoder_quant / DESIGN.md §32):
+    at d_model >= 1024 the encoder is MXU-compute-bound (~36-40%
+    utilization, §25) and v5e int8 MXU peak is ~2x bf16 — the opposite
+    trade from the decode loop, where the bandwidth-bound §28 measurement
+    made dequant-streaming (`deq`) the winner. Weights may be pre-quantized
+    ({"w": int8, "w_s": scales}) or quantized in-graph (loop-invariant:
+    XLA hoists it out of any scan/loop)."""
+    if "w_s" in p:
+        wq, ws = p["w"], p["w_s"]
+    else:
+        wq, ws = _quant_cols(p["w"])
+    xq, sx = _rowquant_dyn(x)
+    acc = jax.lax.dot_general(xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (sx * ws.astype(jnp.float32))
+    return out.astype(dtype) + p["b"]
+
+
+def qkv_fused_i8dyn(y: jax.Array, attn: Params, n_heads: int, dtype
+                    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """int8 variant of qkv_fused: one rowquant of y, one s8 MXU dot over
+    the concatenated q/k/v int8 weights (per-column scales concatenate
+    exactly — each output column keeps its own scale)."""
+    if "w_s" in attn["q"]:
+        wq = jnp.concatenate([attn[n]["w"] for n in ("q", "k", "v")],
+                             axis=-1)
+        ws = jnp.concatenate([attn[n]["w_s"] for n in ("q", "k", "v")])
+    else:
+        qs = [_quant_cols(attn[n]["w"]) for n in ("q", "k", "v")]
+        wq = jnp.concatenate([q for q, _ in qs], axis=-1)
+        ws = jnp.concatenate([s for _, s in qs])
+    b = jnp.concatenate([attn["q"]["b"], attn["k"]["b"], attn["v"]["b"]])
+    yq, sy = _rowquant_dyn(y)
+    acc = jax.lax.dot_general(yq, wq, (((y.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    qkv = (acc.astype(jnp.float32) * (sy * ws.astype(jnp.float32))
+           ).astype(dtype) + b
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return (split_heads(q, n_heads), split_heads_hm(k, n_heads),
+            split_heads_hm(v, n_heads))
+
+
 def split_heads(x: jax.Array, n_heads: int) -> jax.Array:
     """(B, T, d) -> (B, T, H, Dh) — query layout."""
     b, t, d = x.shape
@@ -389,6 +447,16 @@ def _encoder_tail_mode(cfg: WhisperConfig, B: int, T: int) -> str:
     return "off"
 
 
+def _encoder_i8(cfg: WhisperConfig) -> bool:
+    """cfg.encoder_quant with a trace-time env override (WHISPER_TPU_ENC_I8
+    — same set-before-first-call caveat as the other trace-time knobs)."""
+    import os
+    env = os.environ.get("WHISPER_TPU_ENC_I8")
+    if env is not None:
+        return env == "1"
+    return cfg.encoder_quant
+
+
 def encoder_forward(params: Params, cfg: WhisperConfig,
                     mel: jax.Array) -> jax.Array:
     """(B, n_mels, n_frames) -> (B, n_audio_ctx, d_model).
@@ -400,16 +468,33 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
     program per (batch, q-block) when eligible (ops/encoder_layer.py —
     the non-attention tail measured ~3 ms of the 5.3 ms tiny-b8 encoder
     as separate XLA fusions); LN1 + the fused-QKV projection stay in XLA
-    (attention needs all positions' K/V first — a sequential barrier)."""
+    (attention needs all positions' K/V first — a sequential barrier).
+
+    int8 mode (cfg.encoder_quant, bf16 only, DESIGN.md §32): the four
+    projections run as s8 x s8 MXU dots (linear_i8dyn) and the Pallas
+    tail is bypassed — the projections must be visible to XLA."""
     enc = params["encoder"]
     dtype = jnp.dtype(cfg.compute_dtype)
     x = conv_stem(enc, cfg, mel) + enc["pos_emb"].astype(dtype)
 
-    tail = _encoder_tail_mode(cfg, x.shape[0], x.shape[1])
+    enc_i8 = _encoder_i8(cfg) and dtype != jnp.float32
+    tail = "off" if enc_i8 else _encoder_tail_mode(cfg, x.shape[0],
+                                                   x.shape[1])
 
     def block(h, lp):
         r = h
         y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
+        if enc_i8:
+            q, k, v = qkv_fused_i8dyn(y, lp["attn"], cfg.n_heads, dtype)
+            a = merge_heads(multi_head_attention(q, k, v,
+                                                 backend=cfg.attn_backend))
+            h = r + linear_i8dyn(a, lp["attn"]["o"], dtype)
+            r = h
+            y = layer_norm(h, lp["mlp_ln"]["g"], lp["mlp_ln"]["b"],
+                           cfg.ln_eps)
+            y = linear_i8dyn(gelu(linear_i8dyn(y, lp["fc1"], dtype)),
+                             lp["fc2"], dtype)
+            return r + y, None
         q, k, v = qkv_fused(y, lp["attn"], cfg.n_heads)
         if tail != "off":
             from whisper_tpu.ops.encoder_layer import (
