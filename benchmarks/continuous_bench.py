@@ -49,10 +49,18 @@ def main() -> None:
     sync_every = int(os.environ.get("CONT_SYNC_EVERY", "8"))
 
     cfg = get_config(model).replace(compute_dtype=dtype)
+    # serving-quant defaults (DESIGN.md §29), as the HTTP server applies
+    # them; CONT_QUANT=0 opts out for the A/B
+    if os.environ.get("CONT_QUANT", "1") == "1":
+        from whisper_tpu.config import apply_serving_quant
+        cfg = apply_serving_quant(cfg)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if dtype == "bfloat16":
         from whisper_tpu.weights import to_device
         params = to_device(params, jnp.bfloat16)
+    if cfg.weight_quant:
+        from whisper_tpu.models.whisper import quantize_weights_wq
+        params = quantize_weights_wq(params, cfg)
 
     rng = np.random.RandomState(0)
     t = np.arange(cfg.n_samples) / cfg.sample_rate
@@ -62,20 +70,33 @@ def main() -> None:
         for i in range(min(n_req, 8))
     ]
 
-    def drive(n: int) -> tuple[float, int]:
+    def drive(n: int) -> tuple[float, int, list]:
         eng = ContinuousBatcher(params, cfg, max_slots=slots,
                                 max_new=max_new, sync_every=sync_every)
+        stamps: dict[int, list] = {}
+
+        def on_tok(rid, tid):
+            stamps.setdefault(rid, []).append(time.perf_counter())
+
         for i in range(n):
-            eng.submit(clips[i % len(clips)])
+            eng.submit(clips[i % len(clips)], on_token=on_tok)
         t0 = time.perf_counter()
         out = eng.run_until_idle()
         wall = time.perf_counter() - t0
         gen = sum(len(ids) for ids in out.values()) - n * 4  # minus prompts
         assert len(out) == n
-        return wall, gen
+        # per-request median inter-token gap (tokens surface at sync
+        # granularity, so this measures the STREAMING cadence a client
+        # sees, not the on-chip step wall)
+        gaps = []
+        for ts in stamps.values():
+            if len(ts) > 1:
+                d = np.diff(ts)
+                gaps.append(float(np.median(d)))
+        return wall, gen, gaps
 
     drive(slots)                         # warmup: compiles fill+step+prefill
-    wall, gen = drive(n_req)
+    wall, gen, gaps = drive(n_req)
 
     audio_s = n_req * cfg.chunk_length_s
     print(json.dumps({
@@ -85,10 +106,13 @@ def main() -> None:
         "tokens_per_s": round(gen / wall, 1),
         "wall_s": round(wall, 3),
         "gen_tokens": gen,
+        "stream_gap_p50_ms": (round(float(np.median(gaps)) * 1e3, 2)
+                              if gaps else None),
         "slots": slots,
         "sync_every": sync_every,
         "max_new": max_new,
         "dtype": dtype,
+        "quant": {"wq": cfg.weight_quant, "cq": cfg.cross_kv_quant},
         "device": str(jax.devices()[0]),
     }))
 
