@@ -109,6 +109,12 @@ def main() -> None:
 
     w_greedy, _ = timed(greedy_decode, t_params, t_cfg, t_enc, prompt,
                         max_new=args.gen - 1, logit_bias=bias)
+    d_prompt = jnp.asarray(np.tile(build_prompt(d_cfg), (B, 1)), jnp.int32)
+    d_bias = jnp.zeros((d_cfg.vocab_size,), jnp.float32
+                       ).at[d_cfg.eot_token].set(-1e9)
+    w_greedy_draft, _ = timed(greedy_decode, d_params, d_cfg, d_enc,
+                              d_prompt, max_new=args.gen - 1,
+                              logit_bias=d_bias)
     w_upper, st_up = timed(speculative_decode, t_params, t_cfg, t_params,
                            t_cfg, t_enc, t_enc, prompt,
                            max_new=args.gen - 1, k=args.k,
@@ -139,10 +145,19 @@ def main() -> None:
             s = sum(mid ** i for i in range(k + 1))
             lo, hi = (mid, hi) if s < need else (lo, mid)
         a_star = (lo + hi) / 2
+    # Fully-measured cheap-draft envelope: the lower run's round cost IS
+    # the cheap-draft round (k draft steps + one (k+1)-verify + glue); in
+    # the full-acceptance regime the same round emits k+1 tokens, and at
+    # per-token draft agreement `a` it emits sum_{i=0..k} a^i in
+    # expectation — so speedup(a) = greedy_per_tok * sum a^i / round_cost.
+    def speedup_at(a):
+        return g * sum(a ** i for i in range(k + 1)) / round_cost
+
     print(json.dumps({
         "target": args.target, "draft": args.draft, "batch": B,
         "k": args.k, "gen": args.gen,
         "greedy_ms": round(w_greedy * 1e3, 1),
+        "draft_greedy_ms": round(w_greedy_draft * 1e3, 1),
         "spec_upper_ms": round(w_upper * 1e3, 1),
         "spec_lower_ms": round(w_lower * 1e3, 1),
         "per_token_ms": {r: round(v, 3) for r, v in per_tok.items()},
@@ -152,6 +167,10 @@ def main() -> None:
         "accepted_upper": st_up["accepted_drafts"],
         "accepted_lower": st_lo["accepted_drafts"],
         "round_cost_ms": round(round_cost * 1e3, 3),
+        "cheap_upper_per_tok_ms": round(round_cost / (k + 1) * 1e3, 3),
+        "cheap_upper_speedup": round(speedup_at(1.0), 2),
+        "speedup_at_acceptance": {str(a): round(speedup_at(a), 2)
+                                  for a in (0.6, 0.7, 0.8, 0.9)},
         "breakeven_acceptance": (None if a_star is None
                                  else round(a_star, 3)),
         "device": str(jax.devices()[0]),
