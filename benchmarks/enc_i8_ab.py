@@ -162,16 +162,22 @@ def e2e(model: str, batch: int, n1: int, n2: int):
         h, _ = jax.lax.scan(body, m, None, length=steps)
         return h
 
-    for mode, env in (("bf16(shipped)", None), ("int8-proj", "1")):
-        if env is None:
-            os.environ.pop("WHISPER_TPU_ENC_I8", None)
-        else:
-            os.environ["WHISPER_TPU_ENC_I8"] = env
+    modes = (("bf16(shipped)", {}),
+             ("int8-proj", {"WHISPER_TPU_ENC_I8": "1"}),
+             ("int8-tail", {"WHISPER_TPU_ENC_I8K": "1"}))
+    only = os.environ.get("ENC_AB_ONLY")           # comma list of modes
+    for mode, env in modes:
+        if only and mode not in only.split(","):
+            continue
+        for k in ("WHISPER_TPU_ENC_I8", "WHISPER_TPU_ENC_I8K"):
+            os.environ.pop(k, None)
+        os.environ.update(env)
         s = _slope(enc_chain, mel, n1, n2, params=params)
         audio_s = batch * cfg.chunk_length_s
         print(f"  {mode:14s}: {s*1e3:8.2f} ms/encode  "
               f"(encoder-phase RTFx {audio_s/s:,.0f})", flush=True)
-    os.environ.pop("WHISPER_TPU_ENC_I8", None)
+    for k in ("WHISPER_TPU_ENC_I8", "WHISPER_TPU_ENC_I8K"):
+        os.environ.pop(k, None)
 
 
 def main():

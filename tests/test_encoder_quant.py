@@ -93,6 +93,67 @@ def test_encoder_quant_fp32_passthrough(small_cfg):
     np.testing.assert_array_equal(a, b)
 
 
+def test_encoder_mlp_quant_in_kernel_close(nano_bf16):
+    """§32b: int8 fc1/fc2 INSIDE the fused tail (interpret mode) tracks
+    the bf16 fused tail within activation-quant tolerance."""
+    cfg, params = nano_bf16
+    cfg = cfg.replace(attn_backend="pallas_interpret")
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, cfg.n_mels, cfg.n_frames) * 0.5,
+                      jnp.bfloat16)
+    a = np.asarray(encoder_forward(params, cfg, mel), np.float32)
+    b = np.asarray(encoder_forward(
+        params, cfg.replace(encoder_mlp_quant=True), mel), np.float32)
+    assert a.shape == b.shape
+    assert not np.array_equal(a, b)      # the int8 path actually engaged
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 0.05
+
+
+def test_encoder_mlp_quant_close_to_xla_i8(nano_bf16):
+    """§32b in-kernel numerics vs the §32 XLA oracle: both quantize fc1/fc2
+    per-output-column with dynamic per-row act scales, so their MLP math is
+    the same up to bf16 rounding points and the XLA path's additional
+    QKV/o quantization — bound the gap at the same 5%."""
+    cfg, params = nano_bf16
+    rng = np.random.RandomState(2)
+    mel = jnp.asarray(rng.randn(1, cfg.n_mels, cfg.n_frames) * 0.5,
+                      jnp.bfloat16)
+    xla_i8 = np.asarray(encoder_forward(
+        params, cfg.replace(encoder_quant=True), mel), np.float32)
+    kern_i8 = np.asarray(encoder_forward(
+        params, cfg.replace(encoder_mlp_quant=True,
+                            attn_backend="pallas_interpret"), mel),
+        np.float32)
+    assert (np.abs(xla_i8 - kern_i8).max()
+            / (np.abs(xla_i8).max() + 1e-9) < 0.05)
+
+
+def test_encoder_mlp_quant_noop_without_tail(nano_bf16):
+    """§32b lives inside the tail kernel: with the tail off (CPU auto
+    mode) the flag must change nothing (bit-identical)."""
+    cfg, params = nano_bf16
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(1, cfg.n_mels, cfg.n_frames) * 0.5,
+                      jnp.bfloat16)
+    a = np.asarray(encoder_forward(params, cfg, mel))
+    b = np.asarray(encoder_forward(
+        params, cfg.replace(encoder_mlp_quant=True), mel))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_encoder_mlp_quant_fp32_passthrough(small_cfg):
+    params = init_params(small_cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray((rng.randn(1, small_cfg.n_mels, small_cfg.n_frames)
+                       * 0.5).astype(np.float32))
+    a = np.asarray(encoder_forward(
+        params, small_cfg.replace(attn_backend="pallas_interpret"), mel))
+    b = np.asarray(encoder_forward(
+        params, small_cfg.replace(attn_backend="pallas_interpret",
+                                  encoder_mlp_quant=True), mel))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_encoder_quant_env_override(nano_bf16, monkeypatch):
     """WHISPER_TPU_ENC_I8=0 forces the bf16 path even when the cfg flag is
     on (trace-time knob, read per encoder_forward call here)."""

@@ -72,7 +72,16 @@ class WhisperConfig:
     # (~36-40% MXU utilization) and v5e int8 MXU peak is ~2x bf16 — the
     # opposite regime from the decode loop where weight-dequant streaming
     # won (§28). Env override: WHISPER_TPU_ENC_I8=0|1.
+    # Measured e2e NEGATIVE at every width (§32 — the XLA-level path must
+    # bypass the fused tail kernel); kept as the numerics oracle for the
+    # in-kernel variant below.
     encoder_quant: bool = False
+    # §32b: int8 fc1/fc2 INSIDE the fused encoder block-tail kernel —
+    # s8xs8 MXU dots with in-register dynamic per-row activation quant;
+    # keeps the tail's VMEM residency and halves the MLP weight reads
+    # (also unlocks a larger q-block at d=1280). bf16 + fused-tail mode
+    # only; no-op when the tail is off. Env: WHISPER_TPU_ENC_I8K=0|1.
+    encoder_mlp_quant: bool = False
     # Fused decoder-step megakernel (ops/decoder_step.py): one Pallas
     # program per greedy decode step instead of ~60 XLA fusions. None =
     # auto (currently OFF: token-identical on v5e but slower than the XLA

@@ -412,7 +412,8 @@ def conv_stem(enc: Params, cfg: WhisperConfig, mel: jax.Array) -> jax.Array:
     return jnp.transpose(x, (0, 2, 1))                  # (B, T, d)
 
 
-def _encoder_tail_mode(cfg: WhisperConfig, B: int, T: int) -> str:
+def _encoder_tail_mode(cfg: WhisperConfig, B: int, T: int,
+                       mlp_q: bool = False) -> str:
     """Dispatch for the fused encoder-block-tail kernel
     (ops/encoder_layer.py): 'pallas' | 'interpret' | 'off'.
 
@@ -442,7 +443,8 @@ def _encoder_tail_mode(cfg: WhisperConfig, B: int, T: int) -> str:
             and B * cfg.n_heads * T * T * 4 >= _FLASH_MIN_SCORE_BYTES
             and tail_fits_vmem(T, T, cfg.n_heads, cfg.d_model,
                                4 * cfg.d_model,
-                               jnp.dtype(cfg.compute_dtype).itemsize)):
+                               jnp.dtype(cfg.compute_dtype).itemsize,
+                               mlp_q)):
         return "pallas"
     return "off"
 
@@ -455,6 +457,16 @@ def _encoder_i8(cfg: WhisperConfig) -> bool:
     if env is not None:
         return env == "1"
     return cfg.encoder_quant
+
+
+def _encoder_i8k(cfg: WhisperConfig) -> bool:
+    """cfg.encoder_mlp_quant (§32b in-kernel int8 MLP inside the fused
+    tail) with a trace-time env override (WHISPER_TPU_ENC_I8K)."""
+    import os
+    env = os.environ.get("WHISPER_TPU_ENC_I8K")
+    if env is not None:
+        return env == "1"
+    return cfg.encoder_mlp_quant
 
 
 def encoder_forward(params: Params, cfg: WhisperConfig,
@@ -478,10 +490,25 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
     x = conv_stem(enc, cfg, mel) + enc["pos_emb"].astype(dtype)
 
     enc_i8 = _encoder_i8(cfg) and dtype != jnp.float32
+    enc_i8k = (_encoder_i8k(cfg) and dtype != jnp.float32 and not enc_i8)
     tail = "off" if enc_i8 else _encoder_tail_mode(cfg, x.shape[0],
-                                                   x.shape[1])
+                                                   x.shape[1], enc_i8k)
+    enc_i8k = enc_i8k and tail != "off"   # §32b lives inside the kernel
+
+    layers = enc["layers"]
+    if enc_i8k:
+        # Per-output-column int8 for the stacked fc1/fc2 (leading layer
+        # axis; _quant_cols reduces axis=-2). One weight read per encoder
+        # call (~1 ms at large) — folded into weight prep if it matters.
+        f1q, f1s = _quant_cols(layers["fc1"]["w"])
+        f2q, f2s = _quant_cols(layers["fc2"]["w"])
+        layers = (layers, {"f1q": f1q, "f1s": f1s,
+                           "f2q": f2q, "f2s": f2s})
 
     def block(h, lp):
+        mlpq = None
+        if isinstance(lp, tuple):
+            lp, mlpq = lp
         r = h
         y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
         if enc_i8:
@@ -502,11 +529,17 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
                 pack_tail_misc,
                 pad_tail_weights,
             )
+            if mlpq is not None:
+                fc1_w, fc2_w = mlpq["f1q"], mlpq["f2q"]
+                misc = pack_tail_misc(lp, mlpq["f1s"], mlpq["f2s"])
+            else:
+                fc1_w = lp["fc1"]["w"].astype(dtype)
+                fc2_w = lp["fc2"]["w"].astype(dtype)
+                misc = pack_tail_misc(lp)
             h = encoder_block_tail(
                 q, k, v, h,
                 pad_tail_weights(lp["attn"]["o"]["w"], cfg.n_heads, dtype),
-                lp["fc1"]["w"].astype(dtype), lp["fc2"]["w"].astype(dtype),
-                pack_tail_misc(lp), eps=cfg.ln_eps,
+                fc1_w, fc2_w, misc, eps=cfg.ln_eps,
                 interpret=tail == "interpret")
             return h, None
         a = merge_heads(multi_head_attention(q, k, v,
@@ -517,7 +550,7 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
         y = linear(gelu(linear(y, lp["fc1"])), lp["fc2"])
         return r + y, None
 
-    x, _ = jax.lax.scan(block, x, enc["layers"],
+    x, _ = jax.lax.scan(block, x, layers,
                         unroll=cfg.n_audio_layers <= 8)
     return layer_norm(x, enc["ln_post"]["g"], enc["ln_post"]["b"], cfg.ln_eps)
 

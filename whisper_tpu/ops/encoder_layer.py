@@ -57,13 +57,19 @@ def _round_up(x: int, m: int) -> int:
 def _tail_kernel(q_ref, k_ref, v_ref, h_ref, wo, fc1, fc2, misc,
                  o_ref, af_s, *,
                  H: int, D: int, d: int, ff: int, S: int, s_pad: int,
-                 eps: float, dtype, prec, interpret: bool):
+                 eps: float, dtype, prec, mlp_q: bool, interpret: bool):
     """One (batch, q-block) program.
 
     q_ref: (1, H, bq, D); k_ref/v_ref: (1, H, s_pad, D); h_ref: (1, bq, d)
     residual input; wo: (H*128, d) pad-row o-projection; fc1: (d, ff);
     fc2: (ff, d); misc: (1, P) fp32 = [o_b(d) | fc1_b(ff) | fc2_b(d) |
     ln2_g(d) | ln2_b(d)]; o_ref: (1, bq, d); af_s: (bq, H*128) fp32 scratch.
+
+    mlp_q (DESIGN.md §32b): fc1/fc2 arrive as per-output-column int8 and
+    misc carries their scale vectors ([... | fc1_s(ff) | fc2_s(d)]); the
+    two MLP dots run s8 x s8 on the MXU with dynamic per-row activation
+    quant computed in-register — the §32 integration costs (tail-fusion
+    bypass, act-quant HBM round trips) don't apply inside the kernel.
     """
     f32 = jnp.float32
     Dp = _LANE
@@ -72,6 +78,9 @@ def _tail_kernel(q_ref, k_ref, v_ref, h_ref, wo, fc1, fc2, misc,
     o_b, fc1_b = m[:d], m[d:d + ff]
     fc2_b = m[d + ff:2 * d + ff]
     ln_g, ln_b = m[2 * d + ff:3 * d + ff], m[3 * d + ff:4 * d + ff]
+    if mlp_q:
+        fc1_s = m[4 * d + ff:4 * d + 2 * ff]
+        fc2_s = m[4 * d + 2 * ff:5 * d + 2 * ff]
 
     def rnd(x32):
         """Round fp32 through the compute dtype — replicates the XLA block's
@@ -112,10 +121,25 @@ def _tail_kernel(q_ref, k_ref, v_ref, h_ref, wo, fc1, fc2, misc,
     h2 = rnd(h + rnd(rnd(dot(af_s[...], wo[...])) + rnd(o_b[None, :])))
 
     # ---- LN2 + MLP + residual ----
+    def qdot(x32, w_ref, w_s):
+        """Dynamic per-row int8 act quant + s8 x s8 MXU dot + exact
+        rescale — linear_i8dyn's math, VMEM-resident (§32b)."""
+        sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+                         / 127.0, 1e-10)
+        xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(xq, w_ref[...], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        return acc.astype(f32) * (sx * w_s[None, :])
+
     y = rnd(_ln(h2, ln_g, ln_b, eps))
-    t1 = rnd(rnd(dot(y, fc1[...])) + rnd(fc1_b[None, :]))
-    t1 = rnd(_gelu_exact(t1, interpret))
-    t2 = rnd(rnd(dot(t1, fc2[...])) + rnd(fc2_b[None, :]))
+    if mlp_q:
+        t1 = rnd(rnd(qdot(y, fc1, fc1_s)) + rnd(fc1_b[None, :]))
+        t1 = rnd(_gelu_exact(t1, interpret))
+        t2 = rnd(rnd(qdot(t1, fc2, fc2_s)) + rnd(fc2_b[None, :]))
+    else:
+        t1 = rnd(rnd(dot(y, fc1[...])) + rnd(fc1_b[None, :]))
+        t1 = rnd(_gelu_exact(t1, interpret))
+        t2 = rnd(rnd(dot(t1, fc2[...])) + rnd(fc2_b[None, :]))
     o_ref[0] = (h2 + t2).astype(o_ref.dtype)
 
 
@@ -138,9 +162,9 @@ _BQ_CANDIDATES = (768, 512, 384, 256, 128)
 
 
 def _vmem_estimate(bq: int, s_pad: int, H: int, d: int, ff: int,
-                   isz: int) -> int:
+                   isz: int, mlp_q: bool = False) -> int:
     Dp = _LANE
-    weights = (H * Dp * d + 2 * d * ff) * isz
+    weights = H * Dp * d * isz + 2 * d * ff * (1 if mlp_q else isz)
     kv_windows = 2 * H * s_pad * Dp * isz * 2      # 2-level buffering
     q_window = H * bq * Dp * isz * 2
     h_io = 2 * bq * d * isz * 2
@@ -150,28 +174,30 @@ def _vmem_estimate(bq: int, s_pad: int, H: int, d: int, ff: int,
             + int(2.5 * transient_f32))
 
 
-def auto_block_q(T: int, S: int, H: int, d: int, ff: int, isz: int) -> int:
+def auto_block_q(T: int, S: int, H: int, d: int, ff: int, isz: int,
+                 mlp_q: bool = False) -> int:
     """Largest q-block whose estimated program VMEM fits the v5e budget.
 
     768 stays the default through small (d<=768); medium drops to 512,
     large/turbo (d=1280, ff=5120) to 384 (the measured-fastest fitting
-    block there). Returns the smallest candidate even when nothing fits
-    (the mode gate should then choose 'off')."""
+    block there; int8 MLP weights halve the fc terms and move d=1280 up
+    to 512). Returns the smallest candidate even when nothing fits (the
+    mode gate should then choose 'off')."""
     s_pad = _round_up(S, _LANE)
     for bq in _BQ_CANDIDATES:
         if bq > _round_up(T, 16):
             continue
-        if _vmem_estimate(bq, s_pad, H, d, ff, isz) <= _VMEM_BUDGET:
+        if _vmem_estimate(bq, s_pad, H, d, ff, isz, mlp_q) <= _VMEM_BUDGET:
             return bq
     return _BQ_CANDIDATES[-1]
 
 
 def tail_fits_vmem(T: int, S: int, H: int, d: int, ff: int,
-                   isz: int) -> bool:
+                   isz: int, mlp_q: bool = False) -> bool:
     """True when some q-block fits the VMEM budget (the auto-mode gate)."""
     s_pad = _round_up(S, _LANE)
-    return any(_vmem_estimate(bq, s_pad, H, d, ff, isz) <= _VMEM_BUDGET
-               for bq in _BQ_CANDIDATES)
+    return any(_vmem_estimate(bq, s_pad, H, d, ff, isz, mlp_q)
+               <= _VMEM_BUDGET for bq in _BQ_CANDIDATES)
 
 
 @functools.partial(
@@ -201,11 +227,12 @@ def encoder_block_tail(q: jax.Array, k: jax.Array, v: jax.Array,
     d = h_in.shape[-1]
     ff = fc1_w.shape[-1]
     dtype = h_in.dtype
+    mlp_q = fc1_w.dtype == jnp.int8          # §32b: misc carries the scales
     prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     if block_q is None:
         block_q = _env_block(
             "WHISPER_TPU_ENC_BQ",
-            auto_block_q(T, S, H, d, ff, jnp.dtype(dtype).itemsize))
+            auto_block_q(T, S, H, d, ff, jnp.dtype(dtype).itemsize, mlp_q))
 
     qt = jnp.transpose(q, (0, 2, 1, 3))                   # (B, H, T, D)
     k = k.astype(dtype)
@@ -223,7 +250,7 @@ def encoder_block_tail(q: jax.Array, k: jax.Array, v: jax.Array,
 
     kern = functools.partial(
         _tail_kernel, H=H, D=D, d=d, ff=ff, S=S, s_pad=s_pad,
-        eps=eps, dtype=dtype, prec=prec, interpret=interpret)
+        eps=eps, dtype=dtype, prec=prec, mlp_q=mlp_q, interpret=interpret)
 
     grid = (B, t_pad // bq)
     out = pl.pallas_call(
@@ -277,10 +304,15 @@ def pad_tail_weights(o_w: jax.Array, n_heads: int, dtype) -> jax.Array:
     return w.reshape(n_heads * Dp, d).astype(dtype)
 
 
-def pack_tail_misc(lp: dict) -> jax.Array:
+def pack_tail_misc(lp: dict, fc1_s: jax.Array | None = None,
+                   fc2_s: jax.Array | None = None) -> jax.Array:
     """(1, 4*d + ff) fp32 parameter pack for one layer:
-    [o_b | fc1_b | fc2_b | mlp_ln_g | mlp_ln_b]."""
+    [o_b | fc1_b | fc2_b | mlp_ln_g | mlp_ln_b]; with fc1_s/fc2_s
+    (the §32b int8-MLP per-column weight scales, (ff,) and (d,)) the
+    pack extends to (1, 5*d + 2*ff)."""
     parts = [lp["attn"]["o"]["b"], lp["fc1"]["b"], lp["fc2"]["b"],
              lp["mlp_ln"]["g"], lp["mlp_ln"]["b"]]
+    if fc1_s is not None:
+        parts += [fc1_s, fc2_s]
     return jnp.concatenate(
         [p.astype(jnp.float32) for p in parts])[None, :]
