@@ -84,7 +84,10 @@ def main(argv=None) -> int:
                    help="enable speculative decoding with this family "
                         "member as the draft (same vocab required, e.g. "
                         "base drafts large-v2, turbo drafts large-v3); "
-                        "tokens are exactly the target's greedy output")
+                        "tokens are exactly the target's greedy output. "
+                        "A batch-1 latency feature: base->large-v2 k=4 "
+                        "breaks even at 46%% draft agreement, 1.8x at "
+                        "80%% (DESIGN.md §33)")
     p.add_argument("--draft-weights", default=None,
                    help="npz checkpoint for the draft model")
     p.add_argument("--draft-flat-bin", default=None,
