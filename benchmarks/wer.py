@@ -56,7 +56,8 @@ def synthetic_clips(n: int, n_samples: int, sample_rate: int
     return clips
 
 
-def build_pipeline(model: str, dtype: str, kv_quant: bool, weights: str | None):
+def build_pipeline(model: str, dtype: str, kv_quant: bool,
+                   weights: str | None, cfg_overrides: dict | None = None):
     import jax
 
     # The axon sitecustomize force-selects the TPU; quality A/B runs are
@@ -71,6 +72,8 @@ def build_pipeline(model: str, dtype: str, kv_quant: bool, weights: str | None):
     from whisper_tpu.weights import to_device
 
     cfg = get_config(model).replace(compute_dtype=dtype, kv_cache_quant=kv_quant)
+    if cfg_overrides:
+        cfg = cfg.replace(**cfg_overrides)
     if weights:
         from whisper_tpu import weights as W
         loader = (W.from_flat_bin_path if weights.endswith(".bin")
@@ -96,11 +99,16 @@ def run_ab(args) -> None:
         ("bf16_greedy", dict(dtype="bfloat16", kv_quant=False, beam=1)),
         ("bf16_int8kv", dict(dtype="bfloat16", kv_quant=True, beam=1)),
         ("bf16_beam5", dict(dtype="bfloat16", kv_quant=False, beam=5)),
+        # §32b in-kernel int8 MLP; interpret-mode tail so the CPU A/B
+        # exercises the same kernel math the chip runs
+        ("bf16_enc_i8k", dict(dtype="bfloat16", kv_quant=False, beam=1,
+                              cfg=dict(encoder_mlp_quant=True,
+                                       attn_backend="pallas_interpret"))),
     ]
     results: dict[str, list] = {}
     for name, v in variants:
         pipe = build_pipeline(args.model, v["dtype"], v["kv_quant"],
-                              args.weights)
+                              args.weights, v.get("cfg"))
         opts = pipe.make_options(beam_size=v["beam"])
         outs = []
         for clip in clips:

@@ -32,6 +32,19 @@ def test_policy_fp32_untouched(small_cfg):
     assert apply_serving_quant(small_cfg) is small_cfg
 
 
+def test_policy_encoder_mlp_quant_by_width():
+    """§32b in-kernel int8 encoder MLP: on at the measured-positive widths
+    (d>=768: small +4.5% .. large +12.9% encoder phase), off below until
+    measured."""
+    from whisper_tpu.config import get_config
+    for name, want in (("small", True), ("medium", True),
+                       ("large-v2", True), ("large-v3-turbo", True),
+                       ("tiny", False), ("base", False)):
+        cfg = apply_serving_quant(
+            get_config(name).replace(compute_dtype="bfloat16"))
+        assert cfg.encoder_mlp_quant is want, name
+
+
 def test_policy_explicit_flag_wins(nano_bf16_plain):
     # a user who chose ONLY cross-KV quant keeps exactly that
     cfg = nano_bf16_plain.replace(cross_kv_quant=True)

@@ -260,4 +260,8 @@ def apply_serving_quant(cfg: WhisperConfig,
     # cross-KV is a small e2e NEGATIVE (−3.7% at the same chain length,
     # DESIGN.md §29b) — weight-only int8 still wins there, so it keeps wq
     # alone. Every other width takes both.
-    return cfg.replace(weight_quant=True, cross_kv_quant=cfg.d_model != 768)
+    # §32b: int8 MLP inside the fused encoder tail wins the encoder phase
+    # at every measured width ≥768 (small +4.5%, medium +11.2%, large-v2
+    # +12.9%, turbo +12.4%); tiny/base widths are unmeasured and stay off.
+    return cfg.replace(weight_quant=True, cross_kv_quant=cfg.d_model != 768,
+                       encoder_mlp_quant=cfg.d_model >= 768)
