@@ -109,7 +109,9 @@ def main() -> None:
         params, cfg, max_slots=args.slots, max_new=args.max_new,
         sync_every=args.sync_every, max_queue=args.max_queue))
     with TranscriptionServer(eng, cfg, host="127.0.0.1", port=0) as srv:
-        # warmup: compile fill/step/prefill paths before the timed wave
+        # warmup: the engine-level bucket warmup (what the server daemon
+        # runs at startup) + one SSE round trip for the HTTP path
+        eng.warmup()
         _sse_client(srv.port, _wav_bytes(args.short_seconds, 330.0), {})
 
         bodies, kinds = [], []

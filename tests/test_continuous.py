@@ -374,3 +374,21 @@ def test_cancel_queued_and_active(nano):
     assert queued not in out and first not in out
     assert third in out and got == [third]
     assert eng.cancel(12345) == "done"      # unknown rid: no-op
+
+
+def test_warmup_compiles_and_resets(nano):
+    """warmup(): drives one throwaway request per bucket, then leaves the
+    engine empty with zeroed telemetry; traffic after warmup is exact."""
+    cfg, params = nano
+    solo = ContinuousBatcher(params, cfg, max_slots=2, max_new=6)
+    r0 = solo.submit(_audio(7))
+    ref = solo.run_until_idle()[r0]
+
+    eng = ContinuousBatcher(params, cfg, max_slots=2, max_new=6)
+    eng.warmup()
+    assert all(s is None for s in eng._slots) and not eng._queue
+    q = eng.queue_stats()
+    assert q["served"] == 0 and q["depth"] == 0
+    assert eng.max_new == 6                 # restored
+    rid = eng.submit(_audio(7))
+    assert eng.run_until_idle()[rid] == ref

@@ -405,6 +405,13 @@ class ContinuousEngine:
                 except _q.Empty:
                     pass
 
+    def warmup(self, buckets: Optional[tuple] = None) -> None:
+        """Compile the serving executables before opening to traffic
+        (ContinuousBatcher.warmup under the pump lock — a cold-shape
+        compile mid-traffic stalls every live stream; DESIGN.md §34)."""
+        with self._lock:
+            self._b.warmup(buckets)
+
     def close(self):
         self._closed = True
         self._wake.put(None)
@@ -482,6 +489,11 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--no-quant", action="store_true",
                    help="bf16 without the int8 serving defaults "
                         "(weight-only int8 + int8 cross-KV, DESIGN.md §29)")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="continuous engine: skip the startup compile of "
+                        "the serving executables (smallest + largest "
+                        "prompt buckets); a cold-shape compile then stalls "
+                        "all live streams the first time traffic hits it")
     args = p.parse_args(argv)
 
     from whisper_tpu.config import get_config
@@ -506,6 +518,9 @@ def main(argv: Optional[list] = None) -> int:
             max_new=args.max_new, tokenizer=pipe.tokenizer,
             sync_every=args.sync_every,
             max_queue=args.max_queue or None))
+        if not args.no_warmup:
+            print("warming serving executables ...", flush=True)
+            bt.warmup()
     else:
         bt = BatchedTranscriber(pipe.params, pipe.cfg, pipe.tokenizer,
                                 max_batch=args.max_batch,

@@ -272,6 +272,44 @@ class ContinuousBatcher:
         self.state = self._fresh_state()
         self._slots = [None] * self.B
 
+    def warmup(self, buckets: Optional[tuple] = None) -> None:
+        """Compile the serving executables BEFORE traffic (DESIGN.md §34).
+
+        Drives one throwaway request per requested prompt bucket through
+        the normal fill → step → harvest path (the fill scatters are
+        already arrival-count-static, so one request per bucket covers
+        every wave size), then resets all state. A cold prefill-bucket
+        compile otherwise stalls the lockstep pump — and with it every
+        live stream — the first time traffic hits that bucket.
+
+        buckets: prompt-length buckets to compile. Default compiles the
+        smallest (plain prompts) and largest (long-form prev-text
+        conditioning hits it); pass self._P_BUCKETS for all seven if
+        startup time is cheaper than any mid-traffic stall. Warmup
+        requests are excluded from queue telemetry."""
+        if buckets is None:
+            buckets = (self._P_BUCKETS[0], self._P_BUCKETS[-1])
+        base = len(build_prompt(self.cfg, "en", "transcribe",
+                                timestamps=self._timestamps))
+        audio = np.zeros((self.cfg.n_samples,), np.float32)
+        saved_max_new = self.max_new
+        self.max_new = 1                    # shapes don't depend on it
+        try:
+            for pb in sorted(set(buckets)):
+                prev_len = pb - base - 1    # +1 for <|startofprev|>
+                prev = ([self.cfg.eot_token] * prev_len
+                        if prev_len > 0 else None)
+                self.submit(audio, prev_tokens=prev, admitted=True)
+            self.run_until_idle()
+        finally:
+            self.max_new = saved_max_new
+            self.reset_state()
+            self._queue.clear()
+            self._results.clear()
+            self._waits.clear()
+            self._max_wait_s = 0.0
+            self._served = 0
+
     # ---- client API ----
     def submit(self, audio: np.ndarray, language: str = "en",
                task: str = "transcribe",
@@ -388,10 +426,17 @@ class ContinuousBatcher:
         # the arrival count.
         s = self.state
         prompts = []
-        rows_np = np.zeros((len(take), self.total), np.int32)
-        pos_v = np.zeros((len(take),), np.int32)
-        cap_v = np.zeros((len(take),), np.int32)
-        seed_v = np.zeros((len(take),), np.uint32)
+        # Arrays are padded to B rows and scattered with a B-length index
+        # vector (pad index == self.B, scatter mode="drop"), so every fill
+        # runs the SAME executables regardless of how many requests join —
+        # a len(take)-shaped scatter set recompiles per distinct arrival
+        # count, and through the tunnel that surfaced as ~39 s TTFT for a
+        # cold 8-wide wave (DESIGN.md §34) while stalling the lockstep
+        # pump for every live stream.
+        rows_np = np.zeros((self.B, self.total), np.int32)
+        pos_v = np.zeros((self.B,), np.int32)
+        cap_v = np.zeros((self.B,), np.int32)
+        seed_v = np.zeros((self.B,), np.uint32)
         for i, (rid, _, (language, task), cb, on_tok, seed,
                 prev, _t_sub) in enumerate(take):
             b = free[i]
@@ -411,19 +456,23 @@ class ContinuousBatcher:
             cap_v[i] = min(self.total, P + 1 + self.max_new)
             seed_v[i] = np.uint32(seed)
             self._slots[b] = _Slot(rid, cb, on_tok, emitted=P)
-        idx = jnp.asarray(free[:len(take)], jnp.int32)
-        src = jnp.arange(len(take))
+        idx_np = np.full((self.B,), self.B, np.int32)   # B = dropped pad
+        idx_np[:len(take)] = free[:len(take)]
+        idx = jnp.asarray(idx_np)
         s = {
             **s,
-            "tokens": s["tokens"].at[idx].set(jnp.asarray(rows_np)),
-            "pos": s["pos"].at[idx].set(jnp.asarray(pos_v)),
-            "forced_len": s["forced_len"].at[idx].set(jnp.asarray(pos_v)),
-            "cap": s["cap"].at[idx].set(jnp.asarray(cap_v)),
-            "active": s["active"].at[idx].set(True),
-            "finished": s["finished"].at[idx].set(False),
-            "seed": s["seed"].at[idx].set(jnp.asarray(seed_v)),
+            "tokens": s["tokens"].at[idx].set(jnp.asarray(rows_np),
+                                              mode="drop"),
+            "pos": s["pos"].at[idx].set(jnp.asarray(pos_v), mode="drop"),
+            "forced_len": s["forced_len"].at[idx].set(jnp.asarray(pos_v),
+                                                      mode="drop"),
+            "cap": s["cap"].at[idx].set(jnp.asarray(cap_v), mode="drop"),
+            "active": s["active"].at[idx].set(True, mode="drop"),
+            "finished": s["finished"].at[idx].set(False, mode="drop"),
+            "seed": s["seed"].at[idx].set(jnp.asarray(seed_v), mode="drop"),
             "cross": jax.tree.map(
-                lambda a, n: a.at[:, idx].set(n[:, src].astype(a.dtype)),
+                lambda a, n: a.at[:, idx].set(n.astype(a.dtype),
+                                              mode="drop"),
                 s["cross"], cross),
         }
 
