@@ -54,8 +54,10 @@ KV_QUANT = os.environ.get("WHISPER_BENCH_KVQUANT", "0") == "1"
 # force. Resolved per-model in main().
 _CROSS_ENV = os.environ.get("WHISPER_BENCH_CROSSQUANT", "auto")
 _WQ_ENV = os.environ.get("WHISPER_BENCH_WQ", "auto")
+_ENC_I8K_ENV = os.environ.get("WHISPER_BENCH_ENC_I8K", "auto")
 CROSS_QUANT = _CROSS_ENV == "1"   # pre-resolution values for the JSON line
 WQ = _WQ_ENV == "1"
+ENC_I8K = _ENC_I8K_ENV == "1"
 
 
 def make_chained_runner(cfg, params, prompt, gen_tokens: int, G: int,
@@ -116,7 +118,7 @@ def main() -> None:
 
     model = os.environ.get("WHISPER_BENCH_MODEL", "tiny")
     from whisper_tpu.config import apply_serving_quant
-    global WQ, CROSS_QUANT
+    global WQ, CROSS_QUANT, ENC_I8K
     base_cfg = get_config(model).replace(compute_dtype=DTYPE,
                                          attn_backend=BACKEND,
                                          kv_cache_quant=KV_QUANT)
@@ -124,7 +126,10 @@ def main() -> None:
     WQ = auto.weight_quant if _WQ_ENV == "auto" else _WQ_ENV == "1"
     CROSS_QUANT = (auto.cross_kv_quant if _CROSS_ENV == "auto"
                    else _CROSS_ENV == "1")
-    cfg = base_cfg.replace(cross_kv_quant=CROSS_QUANT, weight_quant=WQ)
+    ENC_I8K = (auto.encoder_mlp_quant if _ENC_I8K_ENV == "auto"
+               else _ENC_I8K_ENV == "1")
+    cfg = base_cfg.replace(cross_kv_quant=CROSS_QUANT, weight_quant=WQ,
+                           encoder_mlp_quant=ENC_I8K)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if DTYPE == "bfloat16":
         from whisper_tpu.weights import to_device
@@ -299,6 +304,7 @@ def main() -> None:
         "kv_quant": KV_QUANT,
         "weight_quant": WQ,
         "cross_quant": CROSS_QUANT,
+        "enc_i8k": ENC_I8K,
         "achieved_tflops": round(cost.flops / per_batch / 1e12, 2),
         "mfu_pct": round(100 * cost.mfu(per_batch), 2),
         "sol_pct": round(100 * cost.sol_frac(per_batch), 1),

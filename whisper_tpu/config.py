@@ -261,7 +261,8 @@ def apply_serving_quant(cfg: WhisperConfig,
     # DESIGN.md §29b) — weight-only int8 still wins there, so it keeps wq
     # alone. Every other width takes both.
     # §32b: int8 MLP inside the fused encoder tail wins the encoder phase
-    # at every measured width ≥768 (small +4.5%, medium +11.2%, large-v2
-    # +12.9%, turbo +12.4%); tiny/base widths are unmeasured and stay off.
+    # monotonically in width — tiny wash (−0.4%), base +1.8% (noise
+    # floor), small +4.5%, medium +11.2%, large-v2 +12.9%, turbo +12.4% —
+    # so it defaults on exactly where the win clears session variance.
     return cfg.replace(weight_quant=True, cross_kv_quant=cfg.d_model != 768,
                        encoder_mlp_quant=cfg.d_model >= 768)
