@@ -158,6 +158,16 @@ def _env_block(name: str, default: int) -> int:
 # the fp32 transient set (scores, GeLU intermediate, residual copies) for
 # spills; the budget sits just above the measured-good 112 MB point.
 _VMEM_BUDGET = 113 * 1024 * 1024
+# §32b int8-MLP budget (r4, all three boundary points measured): the
+# int8 weights shrink the program, but the NEXT block size up fails in
+# the e2e context at both widths — d=1280 bq=512 compiles standalone
+# and wins the encoder A/B (722.2 vs 731.8 ms/encode) yet EXCEEDS
+# scoped vmem by 492 KB inside bench's chained stage1 (112.98M vs
+# 112.5M), and d=1024 bq=768 fails even standalone (101.8M vs 100M).
+# So the int8 budget equals the bf16 one: same blocks ship, the int8
+# savings buy headroom rather than a bigger tile. Revisit only if the
+# scoped-vmem limit or the transient set changes.
+_VMEM_BUDGET_I8 = _VMEM_BUDGET
 _BQ_CANDIDATES = (768, 512, 384, 256, 128)
 
 
@@ -187,7 +197,8 @@ def auto_block_q(T: int, S: int, H: int, d: int, ff: int, isz: int,
     for bq in _BQ_CANDIDATES:
         if bq > _round_up(T, 16):
             continue
-        if _vmem_estimate(bq, s_pad, H, d, ff, isz, mlp_q) <= _VMEM_BUDGET:
+        budget = _VMEM_BUDGET_I8 if mlp_q else _VMEM_BUDGET
+        if _vmem_estimate(bq, s_pad, H, d, ff, isz, mlp_q) <= budget:
             return bq
     return _BQ_CANDIDATES[-1]
 
@@ -196,8 +207,9 @@ def tail_fits_vmem(T: int, S: int, H: int, d: int, ff: int,
                    isz: int, mlp_q: bool = False) -> bool:
     """True when some q-block fits the VMEM budget (the auto-mode gate)."""
     s_pad = _round_up(S, _LANE)
+    budget = _VMEM_BUDGET_I8 if mlp_q else _VMEM_BUDGET
     return any(_vmem_estimate(bq, s_pad, H, d, ff, isz, mlp_q)
-               <= _VMEM_BUDGET for bq in _BQ_CANDIDATES)
+               <= budget for bq in _BQ_CANDIDATES)
 
 
 @functools.partial(
