@@ -164,19 +164,23 @@ def e2e(model: str, batch: int, n1: int, n2: int):
 
     modes = (("bf16(shipped)", {}),
              ("int8-proj", {"WHISPER_TPU_ENC_I8": "1"}),
-             ("int8-tail", {"WHISPER_TPU_ENC_I8K": "1"}))
+             ("int8-tail", {"WHISPER_TPU_ENC_I8K": "1",
+                            "WHISPER_TPU_ENC_I8O": "0"}),
+             ("int8-tail+o", {"WHISPER_TPU_ENC_I8K": "1"}))
     only = os.environ.get("ENC_AB_ONLY")           # comma list of modes
     for mode, env in modes:
         if only and mode not in only.split(","):
             continue
-        for k in ("WHISPER_TPU_ENC_I8", "WHISPER_TPU_ENC_I8K"):
+        for k in ("WHISPER_TPU_ENC_I8", "WHISPER_TPU_ENC_I8K",
+                  "WHISPER_TPU_ENC_I8O"):
             os.environ.pop(k, None)
         os.environ.update(env)
         s = _slope(enc_chain, mel, n1, n2, params=params)
         audio_s = batch * cfg.chunk_length_s
         print(f"  {mode:14s}: {s*1e3:8.2f} ms/encode  "
               f"(encoder-phase RTFx {audio_s/s:,.0f})", flush=True)
-    for k in ("WHISPER_TPU_ENC_I8", "WHISPER_TPU_ENC_I8K"):
+    for k in ("WHISPER_TPU_ENC_I8", "WHISPER_TPU_ENC_I8K",
+              "WHISPER_TPU_ENC_I8O"):
         os.environ.pop(k, None)
 
 

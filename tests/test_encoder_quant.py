@@ -128,6 +128,25 @@ def test_encoder_mlp_quant_close_to_xla_i8(nano_bf16):
             / (np.abs(xla_i8).max() + 1e-9) < 0.05)
 
 
+def test_encoder_oproj_quant_close(nano_bf16, monkeypatch):
+    """int8 o-projection (default-on with encoder_mlp_quant, §32b
+    addendum): same 5% proximity bound as the MLP quant vs the
+    WHISPER_TPU_ENC_I8O=0 opt-out, and it must actually change the
+    output (i.e. the default really quantizes wo)."""
+    cfg, params = nano_bf16
+    cfg = cfg.replace(attn_backend="pallas_interpret",
+                      encoder_mlp_quant=True)
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, cfg.n_mels, cfg.n_frames) * 0.5,
+                      jnp.bfloat16)
+    monkeypatch.setenv("WHISPER_TPU_ENC_I8O", "0")
+    a = np.asarray(encoder_forward(params, cfg, mel), np.float32)
+    monkeypatch.delenv("WHISPER_TPU_ENC_I8O")
+    b = np.asarray(encoder_forward(params, cfg, mel), np.float32)
+    assert not np.array_equal(a, b)
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 0.05
+
+
 def test_encoder_mlp_quant_noop_without_tail(nano_bf16):
     """§32b lives inside the tail kernel: with the tail off (CPU auto
     mode) the flag must change nothing (bit-identical)."""

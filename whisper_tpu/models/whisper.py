@@ -29,6 +29,7 @@ Parity notes:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -529,16 +530,23 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
                 pack_tail_misc,
                 pad_tail_weights,
             )
+            wo = pad_tail_weights(lp["attn"]["o"]["w"], cfg.n_heads, dtype)
             if mlpq is not None:
                 fc1_w, fc2_w = mlpq["f1q"], mlpq["f2q"]
-                misc = pack_tail_misc(lp, mlpq["f1s"], mlpq["f2s"])
+                wo_s = None
+                if os.environ.get("WHISPER_TPU_ENC_I8O", "1") != "0":
+                    # int8 o-projection rides the MLP quant (per-column
+                    # quant of the PADDED wo — zero pad rows never set a
+                    # scale). Measured +2.4-2.7% encoder phase at
+                    # medium/turbo (DESIGN §32b addendum); =0 opts out.
+                    wo, wo_s = _quant_cols(wo)
+                misc = pack_tail_misc(lp, mlpq["f1s"], mlpq["f2s"], wo_s)
             else:
                 fc1_w = lp["fc1"]["w"].astype(dtype)
                 fc2_w = lp["fc2"]["w"].astype(dtype)
                 misc = pack_tail_misc(lp)
             h = encoder_block_tail(
-                q, k, v, h,
-                pad_tail_weights(lp["attn"]["o"]["w"], cfg.n_heads, dtype),
+                q, k, v, h, wo,
                 fc1_w, fc2_w, misc, eps=cfg.ln_eps,
                 interpret=tail == "interpret")
             return h, None

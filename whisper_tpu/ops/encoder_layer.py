@@ -57,7 +57,8 @@ def _round_up(x: int, m: int) -> int:
 def _tail_kernel(q_ref, k_ref, v_ref, h_ref, wo, fc1, fc2, misc,
                  o_ref, af_s, *,
                  H: int, D: int, d: int, ff: int, S: int, s_pad: int,
-                 eps: float, dtype, prec, mlp_q: bool, interpret: bool):
+                 eps: float, dtype, prec, mlp_q: bool, o_q: bool,
+                 interpret: bool):
     """One (batch, q-block) program.
 
     q_ref: (1, H, bq, D); k_ref/v_ref: (1, H, s_pad, D); h_ref: (1, bq, d)
@@ -81,6 +82,8 @@ def _tail_kernel(q_ref, k_ref, v_ref, h_ref, wo, fc1, fc2, misc,
     if mlp_q:
         fc1_s = m[4 * d + ff:4 * d + 2 * ff]
         fc2_s = m[4 * d + 2 * ff:5 * d + 2 * ff]
+    if o_q:                              # experiment: int8 o-projection
+        wo_s = m[5 * d + 2 * ff:6 * d + 2 * ff]
 
     def rnd(x32):
         """Round fp32 through the compute dtype — replicates the XLA block's
@@ -116,11 +119,6 @@ def _tail_kernel(q_ref, k_ref, v_ref, h_ref, wo, fc1, fc2, misc,
         # 128-aligned lane slot (layout offset 0 — Mosaic-legal store)
         af_s[:, hi * Dp: hi * Dp + D] = rnd(pv / jnp.maximum(l, 1e-30))
 
-    # ---- o-projection + residual ----
-    h = h_ref[0].astype(f32)
-    h2 = rnd(h + rnd(rnd(dot(af_s[...], wo[...])) + rnd(o_b[None, :])))
-
-    # ---- LN2 + MLP + residual ----
     def qdot(x32, w_ref, w_s):
         """Dynamic per-row int8 act quant + s8 x s8 MXU dot + exact
         rescale — linear_i8dyn's math, VMEM-resident (§32b)."""
@@ -131,6 +129,13 @@ def _tail_kernel(q_ref, k_ref, v_ref, h_ref, wo, fc1, fc2, misc,
                                   preferred_element_type=jnp.int32)
         return acc.astype(f32) * (sx * w_s[None, :])
 
+    # ---- o-projection + residual ----
+    h = h_ref[0].astype(f32)
+    o_dot = (qdot(af_s[...], wo, wo_s) if o_q
+             else dot(af_s[...], wo[...]))
+    h2 = rnd(h + rnd(rnd(o_dot) + rnd(o_b[None, :])))
+
+    # ---- LN2 + MLP + residual ----
     y = rnd(_ln(h2, ln_g, ln_b, eps))
     if mlp_q:
         t1 = rnd(rnd(qdot(y, fc1, fc1_s)) + rnd(fc1_b[None, :]))
@@ -240,6 +245,7 @@ def encoder_block_tail(q: jax.Array, k: jax.Array, v: jax.Array,
     ff = fc1_w.shape[-1]
     dtype = h_in.dtype
     mlp_q = fc1_w.dtype == jnp.int8          # §32b: misc carries the scales
+    o_q = wo_pad.dtype == jnp.int8           # §32b o-proj experiment
     prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     if block_q is None:
         block_q = _env_block(
@@ -262,7 +268,8 @@ def encoder_block_tail(q: jax.Array, k: jax.Array, v: jax.Array,
 
     kern = functools.partial(
         _tail_kernel, H=H, D=D, d=d, ff=ff, S=S, s_pad=s_pad,
-        eps=eps, dtype=dtype, prec=prec, mlp_q=mlp_q, interpret=interpret)
+        eps=eps, dtype=dtype, prec=prec, mlp_q=mlp_q, o_q=o_q,
+        interpret=interpret)
 
     grid = (B, t_pad // bq)
     out = pl.pallas_call(
@@ -317,14 +324,18 @@ def pad_tail_weights(o_w: jax.Array, n_heads: int, dtype) -> jax.Array:
 
 
 def pack_tail_misc(lp: dict, fc1_s: jax.Array | None = None,
-                   fc2_s: jax.Array | None = None) -> jax.Array:
+                   fc2_s: jax.Array | None = None,
+                   wo_s: jax.Array | None = None) -> jax.Array:
     """(1, 4*d + ff) fp32 parameter pack for one layer:
     [o_b | fc1_b | fc2_b | mlp_ln_g | mlp_ln_b]; with fc1_s/fc2_s
     (the §32b int8-MLP per-column weight scales, (ff,) and (d,)) the
-    pack extends to (1, 5*d + 2*ff)."""
+    pack extends to (1, 5*d + 2*ff), and with wo_s (int8 o-projection
+    experiment, (d,)) to (1, 6*d + 2*ff)."""
     parts = [lp["attn"]["o"]["b"], lp["fc1"]["b"], lp["fc2"]["b"],
              lp["mlp_ln"]["g"], lp["mlp_ln"]["b"]]
     if fc1_s is not None:
         parts += [fc1_s, fc2_s]
+    if wo_s is not None:
+        parts += [wo_s]
     return jnp.concatenate(
         [p.astype(jnp.float32) for p in parts])[None, :]
