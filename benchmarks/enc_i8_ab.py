@@ -166,21 +166,23 @@ def e2e(model: str, batch: int, n1: int, n2: int):
              ("int8-proj", {"WHISPER_TPU_ENC_I8": "1"}),
              ("int8-tail", {"WHISPER_TPU_ENC_I8K": "1",
                             "WHISPER_TPU_ENC_I8O": "0"}),
-             ("int8-tail+o", {"WHISPER_TPU_ENC_I8K": "1"}))
+             ("int8-tail+o", {"WHISPER_TPU_ENC_I8K": "1"}),
+             ("int8-tail+o+q", {"WHISPER_TPU_ENC_I8K": "1",
+                                "WHISPER_TPU_ENC_I8Q": "1"}))
+    knobs = ("WHISPER_TPU_ENC_I8", "WHISPER_TPU_ENC_I8K",
+             "WHISPER_TPU_ENC_I8O", "WHISPER_TPU_ENC_I8Q")
     only = os.environ.get("ENC_AB_ONLY")           # comma list of modes
     for mode, env in modes:
         if only and mode not in only.split(","):
             continue
-        for k in ("WHISPER_TPU_ENC_I8", "WHISPER_TPU_ENC_I8K",
-                  "WHISPER_TPU_ENC_I8O"):
+        for k in knobs:
             os.environ.pop(k, None)
         os.environ.update(env)
         s = _slope(enc_chain, mel, n1, n2, params=params)
         audio_s = batch * cfg.chunk_length_s
         print(f"  {mode:14s}: {s*1e3:8.2f} ms/encode  "
               f"(encoder-phase RTFx {audio_s/s:,.0f})", flush=True)
-    for k in ("WHISPER_TPU_ENC_I8", "WHISPER_TPU_ENC_I8K",
-              "WHISPER_TPU_ENC_I8O"):
+    for k in knobs:
         os.environ.pop(k, None)
 
 

@@ -147,6 +147,23 @@ def test_encoder_oproj_quant_close(nano_bf16, monkeypatch):
     assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 0.05
 
 
+def test_encoder_qkv_quant_close(nano_bf16, monkeypatch):
+    """XLA int8 QKV in front of the fused tail (WHISPER_TPU_ENC_I8Q
+    experiment): 5% proximity bound vs the shipped quant path, and it
+    must actually change the output."""
+    cfg, params = nano_bf16
+    cfg = cfg.replace(attn_backend="pallas_interpret",
+                      encoder_mlp_quant=True)
+    rng = np.random.RandomState(0)
+    mel = jnp.asarray(rng.randn(2, cfg.n_mels, cfg.n_frames) * 0.5,
+                      jnp.bfloat16)
+    a = np.asarray(encoder_forward(params, cfg, mel), np.float32)
+    monkeypatch.setenv("WHISPER_TPU_ENC_I8Q", "1")
+    b = np.asarray(encoder_forward(params, cfg, mel), np.float32)
+    assert not np.array_equal(a, b)
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 0.05
+
+
 def test_encoder_mlp_quant_noop_without_tail(nano_bf16):
     """§32b lives inside the tail kernel: with the tail off (CPU auto
     mode) the flag must change nothing (bit-identical)."""

@@ -523,7 +523,15 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
             y = linear_i8dyn(gelu(linear_i8dyn(y, lp["fc1"], dtype)),
                              lp["fc2"], dtype)
             return r + y, None
-        q, k, v = qkv_fused(y, lp["attn"], cfg.n_heads)
+        if mlpq is not None and os.environ.get(
+                "WHISPER_TPU_ENC_I8Q") == "1":
+            # experiment (§32b QKV addendum): XLA-level int8 QKV in FRONT
+            # of the fused tail — §32's negative conflated XLA act-quant
+            # with LOSING the tail kernel; this hybrid isolates the QKV
+            # lever (the last bf16 encoder matmul, ~25% of its FLOPs).
+            q, k, v = qkv_fused_i8dyn(y, lp["attn"], cfg.n_heads, dtype)
+        else:
+            q, k, v = qkv_fused(y, lp["attn"], cfg.n_heads)
         if tail != "off":
             from whisper_tpu.ops.encoder_layer import (
                 encoder_block_tail,
