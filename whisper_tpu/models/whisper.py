@@ -440,12 +440,13 @@ def _encoder_tail_mode(cfg: WhisperConfig, B: int, T: int,
     # of the fused program fits v5e VMEM (auto_block_q calibration —
     # large-v3-turbo's d=1280 program measured 157.6 MB at bq=768)
     from whisper_tpu.ops.encoder_layer import tail_fits_vmem
+    o_q = mlp_q and os.environ.get("WHISPER_TPU_ENC_I8O", "1") != "0"
     if (backend == "auto" and jax.default_backend() == "tpu"
             and B * cfg.n_heads * T * T * 4 >= _FLASH_MIN_SCORE_BYTES
             and tail_fits_vmem(T, T, cfg.n_heads, cfg.d_model,
                                4 * cfg.d_model,
                                jnp.dtype(cfg.compute_dtype).itemsize,
-                               mlp_q)):
+                               mlp_q, o_q)):
         return "pallas"
     return "off"
 

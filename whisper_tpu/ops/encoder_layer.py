@@ -169,17 +169,29 @@ _VMEM_BUDGET = 113 * 1024 * 1024
 # and wins the encoder A/B (722.2 vs 731.8 ms/encode) yet EXCEEDS
 # scoped vmem by 492 KB inside bench's chained stage1 (112.98M vs
 # 112.5M), and d=1024 bq=768 fails even standalone (101.8M vs 100M).
-# So the int8 budget equals the bf16 one: same blocks ship, the int8
-# savings buy headroom rather than a bigger tile. Revisit only if the
-# scoped-vmem limit or the transient set changes.
+# So the int8-MLP budget equals the bf16 one: same blocks ship, the
+# int8 savings buy headroom rather than a bigger tile. Revisit only if
+# the scoped-vmem limit or the transient set changes.
 _VMEM_BUDGET_I8 = _VMEM_BUDGET
+# §32b o-projection addendum (r4): the int8 wo frees another
+# H·Dp·d bytes (3.28 MB at d=1280) — MORE than the 492 KB by which
+# bq=512 missed, and measured: with int8 wo, d=1280 bq=512 compiles
+# and runs in BOTH heavy e2e contexts (bench turbo b32 chain8
+# 1,084.6 → 1,096.6 RTFx, +1.1%; large-v2 b16 steady8 407.3 → 408.6,
+# wash) — so the o_q budget admits the d=1280/bq=512 estimate (117.3e6)
+# while still excluding d=1024/bq=768 (121.4e6 — bf16-wo failed
+# standalone by 1.8M, int8 wo saves 2.1M, so it may JUST fit but is
+# unproven in the e2e context; probe before raising this).
+_VMEM_BUDGET_I8O = 118 * 1000 * 1000
 _BQ_CANDIDATES = (768, 512, 384, 256, 128)
 
 
 def _vmem_estimate(bq: int, s_pad: int, H: int, d: int, ff: int,
-                   isz: int, mlp_q: bool = False) -> int:
+                   isz: int, mlp_q: bool = False,
+                   o_q: bool = False) -> int:
     Dp = _LANE
-    weights = H * Dp * d * isz + 2 * d * ff * (1 if mlp_q else isz)
+    weights = (H * Dp * d * (1 if o_q else isz)
+               + 2 * d * ff * (1 if mlp_q else isz))
     kv_windows = 2 * H * s_pad * Dp * isz * 2      # 2-level buffering
     q_window = H * bq * Dp * isz * 2
     h_io = 2 * bq * d * isz * 2
@@ -189,32 +201,38 @@ def _vmem_estimate(bq: int, s_pad: int, H: int, d: int, ff: int,
             + int(2.5 * transient_f32))
 
 
+def _budget(mlp_q: bool, o_q: bool) -> int:
+    if mlp_q and o_q:
+        return _VMEM_BUDGET_I8O
+    return _VMEM_BUDGET_I8 if mlp_q else _VMEM_BUDGET
+
+
 def auto_block_q(T: int, S: int, H: int, d: int, ff: int, isz: int,
-                 mlp_q: bool = False) -> int:
+                 mlp_q: bool = False, o_q: bool = False) -> int:
     """Largest q-block whose estimated program VMEM fits the v5e budget.
 
-    768 stays the default through small (d<=768); medium drops to 512,
-    large/turbo (d=1280, ff=5120) to 384 (the measured-fastest fitting
-    block there; int8 MLP weights halve the fc terms and move d=1280 up
-    to 512). Returns the smallest candidate even when nothing fits (the
-    mode gate should then choose 'off')."""
+    768 stays the default through small (d<=768); medium drops to 512;
+    large/turbo (d=1280, ff=5120) to 384 bf16, moving up to 512 under
+    the int8 MLP+o weights (the o_q budget — measured boundary points
+    in the comments above). Returns the smallest candidate even when
+    nothing fits (the mode gate should then choose 'off')."""
     s_pad = _round_up(S, _LANE)
     for bq in _BQ_CANDIDATES:
         if bq > _round_up(T, 16):
             continue
-        budget = _VMEM_BUDGET_I8 if mlp_q else _VMEM_BUDGET
-        if _vmem_estimate(bq, s_pad, H, d, ff, isz, mlp_q) <= budget:
+        if (_vmem_estimate(bq, s_pad, H, d, ff, isz, mlp_q, o_q)
+                <= _budget(mlp_q, o_q)):
             return bq
     return _BQ_CANDIDATES[-1]
 
 
 def tail_fits_vmem(T: int, S: int, H: int, d: int, ff: int,
-                   isz: int, mlp_q: bool = False) -> bool:
+                   isz: int, mlp_q: bool = False,
+                   o_q: bool = False) -> bool:
     """True when some q-block fits the VMEM budget (the auto-mode gate)."""
     s_pad = _round_up(S, _LANE)
-    budget = _VMEM_BUDGET_I8 if mlp_q else _VMEM_BUDGET
-    return any(_vmem_estimate(bq, s_pad, H, d, ff, isz, mlp_q)
-               <= budget for bq in _BQ_CANDIDATES)
+    return any(_vmem_estimate(bq, s_pad, H, d, ff, isz, mlp_q, o_q)
+               <= _budget(mlp_q, o_q) for bq in _BQ_CANDIDATES)
 
 
 @functools.partial(
@@ -250,7 +268,8 @@ def encoder_block_tail(q: jax.Array, k: jax.Array, v: jax.Array,
     if block_q is None:
         block_q = _env_block(
             "WHISPER_TPU_ENC_BQ",
-            auto_block_q(T, S, H, d, ff, jnp.dtype(dtype).itemsize, mlp_q))
+            auto_block_q(T, S, H, d, ff, jnp.dtype(dtype).itemsize,
+                         mlp_q, o_q))
 
     qt = jnp.transpose(q, (0, 2, 1, 3))                   # (B, H, T, D)
     k = k.astype(dtype)
