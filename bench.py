@@ -17,8 +17,8 @@ Headline config = the serving sweet spot measured on v5e: bfloat16, batch
 (r3 final: tiny b32 15,653 RTFx steady after the fused encoder tail,
 in-place cache append, right-sized self cache, weight-only int8 and
 scale-commuted int8 cross — DESIGN.md §15, §18-§20, §24, §28-§29;
-r4 adds the in-kernel int8 encoder MLP at d>=768 — §32b: medium 724.8,
-large 403, turbo 1,058.5).
+r4 adds the in-kernel int8 encoder MLP + o-projection at d>=768 and the
+bq512 block at d=1280 — §32b: medium 730.9, large 408.6, turbo 1,096.6).
 fp32 batch 8, the token-parity configuration, measured 1530 RTFx in r1;
 env knobs below select any variant (WHISPER_BENCH_PIPELINE=0 restores
 the sync-p50 headline, WHISPER_BENCH_MODEL sweeps the family).
