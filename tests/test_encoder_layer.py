@@ -108,5 +108,21 @@ def test_auto_block_q_family_calibration():
                               c.d_model, 4 * c.d_model, 2)
     # the known-bad point stays above the budget
     assert _vmem_estimate(768, 1536, 20, 1280, 5120, 2) > 113 * 2**20
+    # §32b serving defaults (int8 MLP + o weights): the freed weight VMEM
+    # moves d=1280 up to bq=512 (measured win at turbo, wash at large-v2);
+    # medium stays 512 (bq=768 measured a wash in-context) and small 768.
+    expect_i8 = {"small": 768, "medium": 512,
+                 "large-v2": 512, "large-v3-turbo": 512}
+    for name, bq in expect_i8.items():
+        c = get_config(name)
+        got = auto_block_q(c.n_audio_ctx, c.n_audio_ctx, c.n_heads,
+                           c.d_model, 4 * c.d_model, 2,
+                           mlp_q=True, o_q=True)
+        assert got == bq, (name, got)
+    # d=1024 bq=768 stays above the o_q budget: it now RUNS in-context
+    # (forced via WHISPER_TPU_ENC_BQ it measured 732.9 vs 730.9 — a wash)
+    # so the estimator intentionally keeps the smaller, equal-speed block
+    assert _vmem_estimate(768, 1536, 16, 1024, 4096, 2, True, True) > \
+        118 * 1000 * 1000
     # short inputs: block never exceeds the (rounded) sequence
     assert auto_block_q(50, 50, 2, 64, 256, 4) <= 128
