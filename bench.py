@@ -17,8 +17,9 @@ Headline config = the serving sweet spot measured on v5e: bfloat16, batch
 (r3 final: tiny b32 15,653 RTFx steady after the fused encoder tail,
 in-place cache append, right-sized self cache, weight-only int8 and
 scale-commuted int8 cross — DESIGN.md §15, §18-§20, §24, §28-§29;
-r4 adds the in-kernel int8 encoder MLP + o-projection at d>=768 and the
-bq512 block at d=1280 — §32b: medium 730.9, large 408.6, turbo 1,096.6).
+r4 adds the in-kernel int8 encoder MLP + o-projection at d>=768, the
+bq512 block at d=1280, and the XLA int8 QKV hybrid at d>=1024 —
+§32b: medium 737.2, large-v2 412.7, large-v3 412.8, turbo 1,124.5).
 fp32 batch 8, the token-parity configuration, measured 1530 RTFx in r1;
 env knobs below select any variant (WHISPER_BENCH_PIPELINE=0 restores
 the sync-p50 headline, WHISPER_BENCH_MODEL sweeps the family).
@@ -57,9 +58,11 @@ KV_QUANT = os.environ.get("WHISPER_BENCH_KVQUANT", "0") == "1"
 _CROSS_ENV = os.environ.get("WHISPER_BENCH_CROSSQUANT", "auto")
 _WQ_ENV = os.environ.get("WHISPER_BENCH_WQ", "auto")
 _ENC_I8K_ENV = os.environ.get("WHISPER_BENCH_ENC_I8K", "auto")
+_ENC_I8Q_ENV = os.environ.get("WHISPER_BENCH_ENC_I8Q", "auto")
 CROSS_QUANT = _CROSS_ENV == "1"   # pre-resolution values for the JSON line
 WQ = _WQ_ENV == "1"
 ENC_I8K = _ENC_I8K_ENV == "1"
+ENC_I8Q = _ENC_I8Q_ENV == "1"
 
 
 def make_chained_runner(cfg, params, prompt, gen_tokens: int, G: int,
@@ -120,7 +123,7 @@ def main() -> None:
 
     model = os.environ.get("WHISPER_BENCH_MODEL", "tiny")
     from whisper_tpu.config import apply_serving_quant
-    global WQ, CROSS_QUANT, ENC_I8K
+    global WQ, CROSS_QUANT, ENC_I8K, ENC_I8Q
     base_cfg = get_config(model).replace(compute_dtype=DTYPE,
                                          attn_backend=BACKEND,
                                          kv_cache_quant=KV_QUANT)
@@ -130,8 +133,11 @@ def main() -> None:
                    else _CROSS_ENV == "1")
     ENC_I8K = (auto.encoder_mlp_quant if _ENC_I8K_ENV == "auto"
                else _ENC_I8K_ENV == "1")
+    ENC_I8Q = (auto.encoder_qkv_quant if _ENC_I8Q_ENV == "auto"
+               else _ENC_I8Q_ENV == "1")
     cfg = base_cfg.replace(cross_kv_quant=CROSS_QUANT, weight_quant=WQ,
-                           encoder_mlp_quant=ENC_I8K)
+                           encoder_mlp_quant=ENC_I8K,
+                           encoder_qkv_quant=ENC_I8Q)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if DTYPE == "bfloat16":
         from whisper_tpu.weights import to_device
@@ -307,6 +313,7 @@ def main() -> None:
         "weight_quant": WQ,
         "cross_quant": CROSS_QUANT,
         "enc_i8k": ENC_I8K,
+        "enc_i8q": ENC_I8Q,
         "achieved_tflops": round(cost.flops / per_batch / 1e12, 2),
         "mfu_pct": round(100 * cost.mfu(per_batch), 2),
         "sol_pct": round(100 * cost.sol_frac(per_batch), 1),

@@ -104,6 +104,12 @@ def run_ab(args) -> None:
         ("bf16_enc_i8k", dict(dtype="bfloat16", kv_quant=False, beam=1,
                               cfg=dict(encoder_mlp_quant=True,
                                        attn_backend="pallas_interpret"))),
+        # §32b QKV addendum: the full adopted encoder-quant stack
+        # (int8 MLP + o inside the tail, XLA int8 QKV in front)
+        ("bf16_enc_i8q", dict(dtype="bfloat16", kv_quant=False, beam=1,
+                              cfg=dict(encoder_mlp_quant=True,
+                                       encoder_qkv_quant=True,
+                                       attn_backend="pallas_interpret"))),
     ]
     results: dict[str, list] = {}
     for name, v in variants:

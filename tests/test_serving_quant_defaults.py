@@ -45,6 +45,20 @@ def test_policy_encoder_mlp_quant_by_width():
         assert cfg.encoder_mlp_quant is want, name
 
 
+def test_policy_encoder_qkv_quant_by_width():
+    """§32b QKV addendum: the XLA int8 QKV hybrid in front of the fused
+    tail is on at d>=1024 (measured e2e medium +0.9%, large-v2 +1.0%,
+    turbo +2.5%), off below (small's encoder phase win didn't clear the
+    e2e noise floor; tiny/base have no int8 tail to ride)."""
+    from whisper_tpu.config import get_config
+    for name, want in (("medium", True), ("large-v2", True),
+                       ("large-v3", True), ("large-v3-turbo", True),
+                       ("small", False), ("tiny", False), ("base", False)):
+        cfg = apply_serving_quant(
+            get_config(name).replace(compute_dtype="bfloat16"))
+        assert cfg.encoder_qkv_quant is want, name
+
+
 def test_policy_explicit_flag_wins(nano_bf16_plain):
     # a user who chose ONLY cross-KV quant keeps exactly that
     cfg = nano_bf16_plain.replace(cross_kv_quant=True)

@@ -82,6 +82,17 @@ class WhisperConfig:
     # (also unlocks a larger q-block at d=1280). bf16 + fused-tail mode
     # only; no-op when the tail is off. Env: WHISPER_TPU_ENC_I8K=0|1.
     encoder_mlp_quant: bool = False
+    # §32b QKV addendum: XLA-level int8 for the fused-QKV projection in
+    # FRONT of the fused tail kernel (dynamic per-token activation quant
+    # x per-column weight quant, s8xs8 MXU dot). §32's all-XLA int8
+    # encoder lost e2e because it cost the tail kernel; this hybrid keeps
+    # the tail and quantizes the one big projection the kernel can't see
+    # (~25% of encoder FLOPs). Measured encoder-phase −3.3..−3.9% at
+    # d_model >= 1024 → e2e medium b16 +0.9%, large-v2 b16 +1.0%,
+    # turbo b32 +2.5% (DESIGN.md §32b QKV addendum). Rides
+    # encoder_mlp_quant (no-op when the fused tail is off).
+    # Env: WHISPER_TPU_ENC_I8Q=0|1.
+    encoder_qkv_quant: bool = False
     # Fused decoder-step megakernel (ops/decoder_step.py): one Pallas
     # program per greedy decode step instead of ~60 XLA fusions. None =
     # auto (currently OFF: token-identical on v5e but slower than the XLA
@@ -264,5 +275,8 @@ def apply_serving_quant(cfg: WhisperConfig,
     # monotonically in width — tiny wash (−0.4%), base +1.8% (noise
     # floor), small +4.5%, medium +11.2%, large-v2 +12.9%, turbo +12.4% —
     # so it defaults on exactly where the win clears session variance.
+    # §32b QKV addendum: the XLA int8 QKV hybrid in front of the tail
+    # wins e2e at d>=1024 (medium +0.9%, large-v2 +1.0%, turbo +2.5%).
     return cfg.replace(weight_quant=True, cross_kv_quant=cfg.d_model != 768,
-                       encoder_mlp_quant=cfg.d_model >= 768)
+                       encoder_mlp_quant=cfg.d_model >= 768,
+                       encoder_qkv_quant=cfg.d_model >= 1024)

@@ -471,6 +471,16 @@ def _encoder_i8k(cfg: WhisperConfig) -> bool:
     return cfg.encoder_mlp_quant
 
 
+def _encoder_i8q(cfg: WhisperConfig) -> bool:
+    """cfg.encoder_qkv_quant (§32b QKV addendum: XLA int8 QKV in front of
+    the fused tail) with a trace-time env override (WHISPER_TPU_ENC_I8Q)."""
+    import os
+    env = os.environ.get("WHISPER_TPU_ENC_I8Q")
+    if env is not None:
+        return env == "1"
+    return cfg.encoder_qkv_quant
+
+
 def encoder_forward(params: Params, cfg: WhisperConfig,
                     mel: jax.Array) -> jax.Array:
     """(B, n_mels, n_frames) -> (B, n_audio_ctx, d_model).
@@ -524,12 +534,12 @@ def encoder_forward(params: Params, cfg: WhisperConfig,
             y = linear_i8dyn(gelu(linear_i8dyn(y, lp["fc1"], dtype)),
                              lp["fc2"], dtype)
             return r + y, None
-        if mlpq is not None and os.environ.get(
-                "WHISPER_TPU_ENC_I8Q") == "1":
-            # experiment (§32b QKV addendum): XLA-level int8 QKV in FRONT
-            # of the fused tail — §32's negative conflated XLA act-quant
-            # with LOSING the tail kernel; this hybrid isolates the QKV
-            # lever (the last bf16 encoder matmul, ~25% of its FLOPs).
+        if mlpq is not None and _encoder_i8q(cfg):
+            # §32b QKV addendum: XLA-level int8 QKV in FRONT of the fused
+            # tail — §32's negative conflated XLA act-quant with LOSING
+            # the tail kernel; this hybrid isolates the QKV lever (the
+            # last bf16 encoder matmul, ~25% of its FLOPs). Default-on at
+            # d>=1024 via apply_serving_quant (e2e +0.9..+2.5%).
             q, k, v = qkv_fused_i8dyn(y, lp["attn"], cfg.n_heads, dtype)
         else:
             q, k, v = qkv_fused(y, lp["attn"], cfg.n_heads)
