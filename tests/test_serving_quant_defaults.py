@@ -65,6 +65,15 @@ def test_policy_explicit_flag_wins(nano_bf16_plain):
     assert apply_serving_quant(cfg) is cfg
 
 
+def test_policy_explicit_encoder_flags_win(nano_bf16_plain):
+    """The encoder quant flags are part of the explicit-choice passthrough
+    too: a forced encoder_mlp_quant/encoder_qkv_quant below its default
+    width must survive (the width policy would otherwise reset it)."""
+    for flag in ("encoder_mlp_quant", "encoder_qkv_quant"):
+        cfg = nano_bf16_plain.replace(**{flag: True})
+        assert apply_serving_quant(cfg) is cfg, flag
+
+
 def test_policy_kill_switch(nano_bf16_plain, monkeypatch):
     monkeypatch.setenv("WHISPER_TPU_AUTO_QUANT", "0")
     assert apply_serving_quant(nano_bf16_plain) is nano_bf16_plain

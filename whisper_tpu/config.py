@@ -260,7 +260,11 @@ def apply_serving_quant(cfg: WhisperConfig,
     import jax.numpy as jnp
     if jnp.dtype(cfg.compute_dtype) == jnp.float32:
         return cfg
-    if cfg.weight_quant or cfg.cross_kv_quant or cfg.kv_cache_quant:
+    if (cfg.weight_quant or cfg.cross_kv_quant or cfg.kv_cache_quant
+            or cfg.encoder_mlp_quant or cfg.encoder_qkv_quant):
+        # an explicit quant choice suppresses the auto default (their
+        # choice stands — incl. the encoder flags, which the width policy
+        # would otherwise stomp, e.g. a forced encoder_mlp_quant at tiny)
         return cfg
     # small-batch gate (measured negative set only): tiny-width quant at
     # b≤8 costs 0-3% — the per-step scale/convert work stops amortizing
