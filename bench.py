@@ -59,10 +59,12 @@ _CROSS_ENV = os.environ.get("WHISPER_BENCH_CROSSQUANT", "auto")
 _WQ_ENV = os.environ.get("WHISPER_BENCH_WQ", "auto")
 _ENC_I8K_ENV = os.environ.get("WHISPER_BENCH_ENC_I8K", "auto")
 _ENC_I8Q_ENV = os.environ.get("WHISPER_BENCH_ENC_I8Q", "auto")
+_SQ_ENV = os.environ.get("WHISPER_BENCH_SQ", "auto")
 CROSS_QUANT = _CROSS_ENV == "1"   # pre-resolution values for the JSON line
 WQ = _WQ_ENV == "1"
 ENC_I8K = _ENC_I8K_ENV == "1"
 ENC_I8Q = _ENC_I8Q_ENV == "1"
+SQ = _SQ_ENV == "1"
 
 
 def make_chained_runner(cfg, params, prompt, gen_tokens: int, G: int,
@@ -123,7 +125,7 @@ def main() -> None:
 
     model = os.environ.get("WHISPER_BENCH_MODEL", "tiny")
     from whisper_tpu.config import apply_serving_quant
-    global WQ, CROSS_QUANT, ENC_I8K, ENC_I8Q
+    global WQ, CROSS_QUANT, ENC_I8K, ENC_I8Q, SQ
     base_cfg = get_config(model).replace(compute_dtype=DTYPE,
                                          attn_backend=BACKEND,
                                          kv_cache_quant=KV_QUANT)
@@ -135,9 +137,11 @@ def main() -> None:
                else _ENC_I8K_ENV == "1")
     ENC_I8Q = (auto.encoder_qkv_quant if _ENC_I8Q_ENV == "auto"
                else _ENC_I8Q_ENV == "1")
+    SQ = auto.self_kv_quant if _SQ_ENV == "auto" else _SQ_ENV == "1"
     cfg = base_cfg.replace(cross_kv_quant=CROSS_QUANT, weight_quant=WQ,
                            encoder_mlp_quant=ENC_I8K,
-                           encoder_qkv_quant=ENC_I8Q)
+                           encoder_qkv_quant=ENC_I8Q,
+                           self_kv_quant=SQ)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if DTYPE == "bfloat16":
         from whisper_tpu.weights import to_device
@@ -314,6 +318,7 @@ def main() -> None:
         "cross_quant": CROSS_QUANT,
         "enc_i8k": ENC_I8K,
         "enc_i8q": ENC_I8Q,
+        "self_quant": SQ,
         "achieved_tflops": round(cost.flops / per_batch / 1e12, 2),
         "mfu_pct": round(100 * cost.mfu(per_batch), 2),
         "sol_pct": round(100 * cost.sol_frac(per_batch), 1),

@@ -71,6 +71,10 @@ def main(argv=None) -> int:
                         "append decode step, ~2x RTFx — DESIGN.md §20)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (fused dequant kernel on TPU)")
+    p.add_argument("--self-kv-quant", action="store_true",
+                   help="scale-commuted int8 SELF cache (bf16 serving "
+                        "mode only; DESIGN.md §35 — the §29 commute "
+                        "applied to the decode loop's other cache read)")
     p.add_argument("--cross-kv-quant", action="store_true",
                    help="int8 CROSS cache only (self stays bf16): halves "
                         "the dominant per-step decode read via the scale-"
@@ -121,6 +125,8 @@ def main(argv=None) -> int:
         cfg = cfg.replace(kv_cache_quant=True)
     if args.cross_kv_quant:
         cfg = cfg.replace(cross_kv_quant=True)
+    if args.self_kv_quant:
+        cfg = cfg.replace(self_kv_quant=True)
     if args.weight_quant:
         cfg = cfg.replace(weight_quant=True)
     quant = "off" if args.no_quant else "auto"

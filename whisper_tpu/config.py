@@ -57,6 +57,18 @@ class WhisperConfig:
     # with weight_quant — DESIGN.md §29; the two earlier formulations that
     # materialized a dequantized K/V both lost, §16).
     cross_kv_quant: bool = False
+    # int8 SELF cache only (cross per cross_kv_quant): the §29 commute
+    # applied to the decode loop's other cache read. The self cache is
+    # read in FULL every step (§24 right-sizes it, but masked slots are
+    # still streamed) — ~10-12% of step bytes at the bench's 128-slot
+    # cap and ~25% at the engine's 448-slot caches. bf16 (serving) mode
+    # only; fp32 ignores it (token-parity keeps full-precision caches).
+    # Per-vector scales ride the standard cache dict as {"k_s","v_s"};
+    # decoder_step_ip reads them scale-commuted (no dequantized tensor),
+    # the Pallas append kernel writes int8 rows in place, and scale rows
+    # land via XLA DUS (the scale arrays are ~100x smaller than the §20
+    # cache-copy pathology). Env: WHISPER_TPU_SQ=0|1 via bench.
+    self_kv_quant: bool = False
     # Weight-only int8 for the decoder's per-step-read weights (attn/MLP
     # projections + tok_emb) with per-output-column scales, dequantized
     # in-graph so XLA streams the int8 bytes from HBM (the `deq` form,
@@ -261,6 +273,7 @@ def apply_serving_quant(cfg: WhisperConfig,
     if jnp.dtype(cfg.compute_dtype) == jnp.float32:
         return cfg
     if (cfg.weight_quant or cfg.cross_kv_quant or cfg.kv_cache_quant
+            or cfg.self_kv_quant
             or cfg.encoder_mlp_quant or cfg.encoder_qkv_quant):
         # an explicit quant choice suppresses the auto default (their
         # choice stands — incl. the encoder flags, which the width policy

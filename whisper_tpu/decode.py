@@ -206,7 +206,7 @@ def _greedy_prefill(params, cfg: WhisperConfig, enc_out, prompt, total: int,
     tokens = jax.lax.dynamic_update_slice(tokens, prompt, (0, 0))
     logits, cache = decoder_forward(params, cfg, prompt, jnp.int32(0),
                                     cache, cross_kv)
-    if use_t and not cfg.kv_cache_quant and not _fused_step_enabled(cfg) \
+    if use_t and "k_s" not in cache and not _fused_step_enabled(cfg) \
             and _loop_step_mode(cfg) == "t":
         from whisper_tpu.models.whisper import transpose_self_cache
         cache = transpose_self_cache(cache)
@@ -260,10 +260,14 @@ def _greedy_loop(params, cfg: WhisperConfig, cross_kv, cache, tokens,
     # (transposed cache, fp32 token-parity default); quantized self-caches
     # keep the standard decoder_forward path. All share prefill above and
     # logits/rules below.
-    if _fused_step_enabled(cfg):
+    # self_kv_quant (commuted int8 self cache, DESIGN.md §35) is an
+    # ip-step-only formulation: it keeps the standard layout and must not
+    # route through the fused megakernel or the transposed-'t' step
+    q8_self = "k_s" in cache and not cfg.kv_cache_quant
+    if _fused_step_enabled(cfg) and not q8_self:
         step_fn, cache = _make_fused_step(params, cfg, cache, cross_kv)
     elif use_t and not cfg.kv_cache_quant:
-        if _loop_step_mode(cfg) == "ip":
+        if _loop_step_mode(cfg) == "ip" or q8_self:
             from whisper_tpu.models.whisper import decoder_step_ip
 
             def step_fn(last, pos, cache):
@@ -461,9 +465,10 @@ def _beam_prefill(params, cfg: WhisperConfig, enc_out, prompt,
     prompt_bw = jnp.repeat(prompt, W, axis=0)            # (BW, P)
     logits, cache = decoder_forward(params, cfg, prompt_bw, jnp.int32(0),
                                     cache, cross_kv)
-    if use_t and not cfg.kv_cache_quant and _loop_step_mode(cfg) == "t":
+    if use_t and "k_s" not in cache and _loop_step_mode(cfg) == "t":
         # loop-local transposed cache layout (see decoder_step_t); mode
-        # 'ip' (decoder_step_ip) keeps the standard layout
+        # 'ip' (decoder_step_ip) keeps the standard layout, as does a
+        # quantized self cache (ip-only, DESIGN.md §35)
         from whisper_tpu.models.whisper import transpose_self_cache
         cache = transpose_self_cache(cache)
     return cross_kv, cache, logits
@@ -526,8 +531,9 @@ def _beam_loop(params, cfg: WhisperConfig, cross_kv, cache, prefill_logits,
             return apply_rules(l, tokens_flat, pos, P, cfg, opts)
         return l
 
+    q8_self = "k_s" in cache and not cfg.kv_cache_quant
     if use_t and not cfg.kv_cache_quant:
-        if _loop_step_mode(cfg) == "ip":
+        if _loop_step_mode(cfg) == "ip" or q8_self:
             import os
 
             from whisper_tpu.models.whisper import decoder_step_ip
@@ -612,7 +618,7 @@ def _beam_loop(params, cfg: WhisperConfig, cross_kv, cache, prefill_logits,
         val = jnp.where(P + i + 1 < total, new_tok, cur)
         tokens = tokens.at[:, :, col].set(val)
         flat_src = (jnp.arange(B)[:, None] * W + src).reshape(BW)
-        s_axis = 4 if (use_t and not cfg.kv_cache_quant
+        s_axis = 4 if (use_t and not cfg.kv_cache_quant and not q8_self
                        and _loop_step_mode(cfg) == "t") else 3
         cache = _beam_gather_cache(cache, flat_src, P + i + 1, s_axis)
         finished = jnp.take_along_axis(finished, src, axis=1)

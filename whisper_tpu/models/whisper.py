@@ -634,10 +634,15 @@ def init_kv_cache(cfg: WhisperConfig, batch: int,
     masked slots contribute exp(-inf)=0.0 exactly, so sums are identical.
 
     With cfg.kv_cache_quant the values are int8 with per-vector fp32 scales
-    ({"k","k_s","v","v_s"})."""
+    ({"k","k_s","v","v_s"}). cfg.self_kv_quant (serving/bf16 mode only —
+    fp32 token-parity keeps full-precision caches) allocates the same
+    quantized layout but the loop reads it scale-COMMUTED in
+    decoder_step_ip (no dequantized tensor, DESIGN.md §35) instead of via
+    the dequant route."""
     shape = (cfg.n_text_layers, batch, cfg.n_heads,
              s_max or cfg.n_text_ctx, cfg.head_dim)
-    if cfg.kv_cache_quant:
+    if cfg.kv_cache_quant or (cfg.self_kv_quant
+                              and jnp.dtype(dtype) != jnp.float32):
         sshape = shape[:-1] + (1,)
         return {"k": jnp.zeros(shape, jnp.int8),
                 "k_s": jnp.full(sshape, 1e-10, jnp.float32),
@@ -1002,6 +1007,62 @@ def _self_attention_extra(q, k_cache, v_cache, k_new, v_new, strict_mask,
     return o.astype(jnp.dtype(dtype))
 
 
+def _self_attention_extra_q8(q, k8, k_s, v8, v_s, k_new, v_new, strict_mask,
+                             D: int, dtype, q8_cross: bool = False,
+                             mxu_t: Optional[int] = None) -> jax.Array:
+    """_self_attention_extra over a scale-commuted int8 self cache — the
+    §29 cross-KV commute applied to the decode loop's other cache read
+    (DESIGN.md §35, cfg.self_kv_quant). Same two-part online softmax; the
+    per-vector scales never materialize a dequantized cache:
+
+        score[b,h,t,s] = (q · k8[s]) * k_s[s]       (scale on the score axis)
+        out[b,h,t,d]   = Σ_s (p[s] * v_s[s]) * v8[s,d]
+
+    so the int8→bf16 converts fuse into the MXU/VPU operand reads exactly
+    as in _att_cross_q8. The current token's k_new/v_new stay bf16 (they
+    are this step's activations, not cache reads); its row is written
+    int8 AFTER the layer scan by the quantizing append in decoder_step_ip
+    — later steps read the quantized row, so products match the
+    kv_cache_quant dequant route, not the bf16 cache. bf16 serving mode
+    only (fp32 parity keeps full-precision caches).
+
+    q: (B,1,H,D); k8/v8: int8 (B,H,S,D); k_s/v_s: fp32 (B,H,S,1);
+    k_new/v_new: (B,H,1,D); strict_mask broadcastable to (B,H,1,S)."""
+    f32 = jnp.float32
+    B, _, H, _ = q.shape
+    ks = k_s[:, :, None, :, 0]                            # (B,H,1,S)
+    vs = v_s[:, :, None, :, 0]
+    t8 = mxu_t if mxu_t is not None else \
+        _mxu_query_tile(H * q.shape[-1], q8_cross)
+    if t8 > 1:
+        qq = jnp.broadcast_to(q, (B, t8) + q.shape[2:])
+        s_c = jnp.einsum("bthd,bhsd->bhts", qq, k8.astype(dtype),
+                         preferred_element_type=f32)[:, :, :1]
+    else:
+        s_c = jnp.einsum("bthd,bhsd->bhts", q, k8.astype(dtype),
+                         preferred_element_type=f32)
+    s_c = s_c * (ks * (D ** -0.5))
+    s_s = jnp.einsum("bthd,bhtd->bht", q, k_new,
+                     preferred_element_type=f32)[..., None] * (D ** -0.5)
+    s_c = jnp.where(strict_mask, s_c, jnp.finfo(f32).min)
+    m = jnp.maximum(jnp.max(s_c, axis=-1, keepdims=True), s_s)
+    e_c = jnp.exp(s_c - m)
+    e_s = jnp.exp(s_s - m)
+    denom = jnp.sum(e_c, axis=-1, keepdims=True) + e_s
+    p = e_c / denom                                       # (B,H,1,S) f32
+    pv = (p * vs).astype(dtype)
+    if t8 > 1:
+        pv8 = jnp.broadcast_to(pv, pv.shape[:2] + (t8, pv.shape[-1]))
+        o = jnp.einsum("bhts,bhsd->bthd", pv8, v8.astype(dtype),
+                       preferred_element_type=f32)[:, :1]
+    else:
+        o = jnp.einsum("bhts,bhsd->bthd", pv, v8.astype(dtype),
+                       preferred_element_type=f32)
+    o = o + ((e_s / denom).transpose(0, 3, 1, 2)
+             * v_new.transpose(0, 2, 1, 3).astype(f32))
+    return o.astype(jnp.dtype(dtype))
+
+
 def _mxu_query_tile(d_model: int, q8_cross: bool = False) -> int:
     """Query-tile width for the T==1 decode contractions (bf16 only);
     trace-time env knob WHISPER_TPU_MXU_T overrides. Width-aware default
@@ -1125,17 +1186,21 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
 
     The cache stays in the init_kv_cache layout (L, B, H, S, D) — no
     transpose_self_cache pass and beam/continuous machinery see the
-    standard layout. Self-cache must be unquantized; int8 cross_kv is
-    supported (same policy as decoder_step_t.att_cross). Reference
+    standard layout. int8 cross_kv is supported (same policy as
+    decoder_step_t.att_cross); a quantized SELF cache ({"k_s","v_s"},
+    cfg.self_kv_quant) is read scale-commuted (_self_attention_extra_q8,
+    DESIGN.md §35) and appended int8 — bf16 serving mode only. Reference
     counterpart: the in-place append cursor into preallocated buffers,
     layers.mojo:14-52 — this is that idea expressed against XLA's
     functional semantics.
     """
-    assert "k_s" not in kv_cache, "decoder_step_ip is unquantized-self-only"
     dec = params["decoder"]
     dtype = jnp.dtype(cfg.compute_dtype)
     f32 = jnp.float32
     fp32_mode = dtype == f32
+    q8_self = "k_s" in kv_cache
+    assert not (q8_self and fp32_mode), \
+        "quantized self cache is serving (bf16) mode only in decoder_step_ip"
     prec = HIGHEST if fp32_mode else None
     S = kv_cache["k"].shape[-2]
     D = cfg.head_dim
@@ -1147,10 +1212,16 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
     q8_cross = ("k_s" in cross_kv and jnp.dtype(dtype) != jnp.float32
                 and _q8_cross_mode() == "commute")
 
-    def att_self(q, k_cache, v_cache, k_new, v_new):
-        return _self_attention_extra(q, k_cache, v_cache, k_new, v_new,
-                                     strict_mask, D, dtype,
-                                     q8_cross=q8_cross, mxu_t=mxu_t)
+    def att_self(q, cache_l, k_new, v_new):
+        if q8_self:
+            return _self_attention_extra_q8(
+                q, cache_l["k"], cache_l["k_s"], cache_l["v"],
+                cache_l["v_s"], k_new, v_new, strict_mask, D, dtype,
+                q8_cross=q8_cross, mxu_t=mxu_t)
+        return _self_attention_extra(
+            q, cache_l["k"].astype(dtype), cache_l["v"].astype(dtype),
+            k_new, v_new, strict_mask, D, dtype,
+            q8_cross=q8_cross, mxu_t=mxu_t)
 
     def att_cross(q, cross_l):
         """Cross attention. int8 cross caches: bf16 mode defaults to the
@@ -1231,7 +1302,7 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
         r = h
         y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
         q, k_new, v_new = qkv_fused(y, lp["attn"], cfg.n_heads)
-        a = att_self(q, cache_l["k"].astype(dtype), cache_l["v"].astype(dtype),
+        a = att_self(q, cache_l,
                      k_new.astype(dtype), v_new.astype(dtype))
         h = r + linear(merge_heads(a), lp["attn"]["o"])
         r = h
@@ -1249,7 +1320,14 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
         unroll=cfg.n_text_layers <= 8)
 
     # one batched append for all layers; Pallas in-place on TPU, plain DUS
-    # (identical result, XLA-lowered) elsewhere so CPU tests run fast
+    # (identical result, XLA-lowered) elsewhere so CPU tests run fast.
+    # Quantized self cache: per-vector int8 rows through the same aliased
+    # kernel; the (L,B,H,S,1) scale rows land via XLA DUS — the scale
+    # arrays are ~128x smaller than the cache, so §20's full-copy
+    # pathology costs ~15 µs/step at medium, not ~780.
+    if q8_self:
+        k_news, k_sc = quantize_kv(k_news)         # (L,B,H,D) -> int8 + s
+        v_news, v_sc = quantize_kv(v_news)
     if jax.default_backend() == "tpu" \
             or cfg.attn_backend == "pallas_interpret":
         from whisper_tpu.ops.cache_append import cache_append_rows
@@ -1263,7 +1341,15 @@ def decoder_step_ip(params: Params, cfg: WhisperConfig,
         cv = jax.lax.dynamic_update_slice(
             kv_cache["v"], v_news[:, :, :, None, :].astype(
                 kv_cache["v"].dtype), (0, 0, 0, pos_offset, 0))
-    return final_logits(params, cfg, h), {"k": ck, "v": cv}
+    new_cache = {"k": ck, "v": cv}
+    if q8_self:
+        new_cache["k_s"] = jax.lax.dynamic_update_slice(
+            kv_cache["k_s"], k_sc[:, :, :, None, :],
+            (0, 0, 0, pos_offset, 0))
+        new_cache["v_s"] = jax.lax.dynamic_update_slice(
+            kv_cache["v_s"], v_sc[:, :, :, None, :],
+            (0, 0, 0, pos_offset, 0))
+    return final_logits(params, cfg, h), new_cache
 
 
 def decoder_step_ragged(params: Params, cfg: WhisperConfig,
@@ -1290,8 +1376,14 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
     per-row Pallas append, cache_append_rows_ragged) — the XLA scatter
     this replaces lowers as a full-cache rewrite per layer per step, the
     same ~780 µs/step pathology measured for greedy (DESIGN.md §20).
-    int8 self-caches keep the scatter formulation (the kernel would need
-    scale-row writes; capacity mode tolerates the rewrite).
+
+    int8 self-caches split by intent: cfg.self_kv_quant (without
+    kv_cache_quant, bf16 mode) is the PERF formulation — the in-place
+    path reads the cache scale-commuted (_self_attention_extra_q8,
+    DESIGN.md §35; the engine's 448-slot caches make the self read
+    ~25% of step bytes) and appends int8 rows via the ragged kernel
+    with per-row scale scatters. cfg.kv_cache_quant (capacity mode)
+    keeps the dequant scatter formulation.
     """
     dec = params["decoder"]
     dtype = jnp.dtype(cfg.compute_dtype)
@@ -1301,7 +1393,10 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
     h = tok_embed(dec, tokens1, dtype)            # (B, 1, d)
     h = h + dec["pos_emb"][pos][:, None].astype(dtype)
     kv_len = pos + 1                                     # (B,)
-    inplace = "k_s" not in kv_cache
+    q8_self = ("k_s" in kv_cache and cfg.self_kv_quant
+               and not cfg.kv_cache_quant
+               and jnp.dtype(dtype) != jnp.float32)
+    inplace = "k_s" not in kv_cache or q8_self
     S = kv_cache["k"].shape[-2]
     strict_mask = (jnp.arange(S)[None, :] < pos[:, None]
                    )[:, None, None, :]                   # (B,1,1,S)
@@ -1326,13 +1421,20 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
         y = layer_norm(h, lp["attn_ln"]["g"], lp["attn_ln"]["b"], cfg.ln_eps)
         q, k_new, v_new = qkv_fused(y, lp["attn"], cfg.n_heads)
         if inplace:
-            a = merge_heads(_self_attention_extra(
-                q, cache_l["k"].astype(dtype), cache_l["v"].astype(dtype),
-                k_new.astype(dtype), v_new.astype(dtype), strict_mask,
-                cfg.head_dim, dtype,
-                q8_cross=("k_s" in cross_kv
-                          and jnp.dtype(dtype) != jnp.float32
-                          and _q8_cross_mode() == "commute")))
+            _q8c = ("k_s" in cross_kv and jnp.dtype(dtype) != jnp.float32
+                    and _q8_cross_mode() == "commute")
+            if q8_self:
+                a = merge_heads(_self_attention_extra_q8(
+                    q, cache_l["k"], cache_l["k_s"], cache_l["v"],
+                    cache_l["v_s"], k_new.astype(dtype),
+                    v_new.astype(dtype), strict_mask, cfg.head_dim,
+                    dtype, q8_cross=_q8c))
+            else:
+                a = merge_heads(_self_attention_extra(
+                    q, cache_l["k"].astype(dtype),
+                    cache_l["v"].astype(dtype),
+                    k_new.astype(dtype), v_new.astype(dtype), strict_mask,
+                    cfg.head_dim, dtype, q8_cross=_q8c))
             ys = (k_new[:, :, 0, :], v_new[:, :, 0, :])
         else:
             cache_l = scatter(cache_l, "k", k_new)
@@ -1369,6 +1471,9 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
         return final_logits(params, cfg, h), out
 
     k_news, v_news = out                                 # (L, B, H, D)
+    if q8_self:
+        k_news, k_sc = quantize_kv(k_news)               # int8 + (L,B,H,1)
+        v_news, v_sc = quantize_kv(v_news)
     if jax.default_backend() == "tpu" \
             or cfg.attn_backend == "pallas_interpret":
         from whisper_tpu.ops.cache_append import cache_append_rows_ragged
@@ -1382,4 +1487,12 @@ def decoder_step_ragged(params: Params, cfg: WhisperConfig,
             jnp.swapaxes(k_news, 0, 1).astype(kv_cache["k"].dtype))
         cv = kv_cache["v"].at[:, rows, :, pos, :].set(
             jnp.swapaxes(v_news, 0, 1).astype(kv_cache["v"].dtype))
-    return final_logits(params, cfg, h), {"k": ck, "v": cv}
+    new_cache = {"k": ck, "v": cv}
+    if q8_self:
+        # per-row scale scatters: XLA rewrites the scale arrays, but they
+        # are D/1 = 64x smaller than the caches the ragged kernel spares
+        new_cache["k_s"] = kv_cache["k_s"].at[:, rows, :, pos, :].set(
+            jnp.swapaxes(k_sc, 0, 1))
+        new_cache["v_s"] = kv_cache["v_s"].at[:, rows, :, pos, :].set(
+            jnp.swapaxes(v_sc, 0, 1))
+    return final_logits(params, cfg, h), new_cache

@@ -34,15 +34,22 @@ _BLK_S = 8  # sublane-aligned row block containing `pos` (Mosaic requires
             # the block's second-minor dim to divide 8 or equal S)
 
 
+def _blk_s(dtype) -> int:
+    """Sublane block for the pos window: 8 for 2/4-byte dtypes, 32 for
+    int8 caches (Mosaic's packed-int8 native tile is (32, 128) — an
+    8-sublane window is not addressable there)."""
+    return 32 if jnp.dtype(dtype).itemsize == 1 else _BLK_S
+
+
 def _append_kernel(pos_ref, kn_ref, vn_ref, k_in, v_in, ko_ref, vo_ref):
-    # ONE grid step owns all L layers' (L, B, H, _BLK_S, D) cache window —
-    # the 8-row aligned slab containing `pos` (all layers share the write
+    # ONE grid step owns all L layers' (L, B, H, blk, D) cache window —
+    # the sublane-aligned slab containing `pos` (all layers share the write
     # position, so one DMA covers the step). Blend the new rows in at
-    # sublane offset pos % _BLK_S via an iota select (Mosaic disallows
+    # sublane offset pos % blk via an iota select (Mosaic disallows
     # dynamic sublane stores on packed dtypes). The aliased cache buffers
     # outside this slab are untouched.
-    p = pos_ref[0] % _BLK_S
-    shape = k_in.shape  # (L, B, H, _BLK_S, D)
+    p = pos_ref[0] % k_in.shape[3]
+    shape = k_in.shape  # (L, B, H, blk, D)
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
     sel = rows == p
     ko_ref[...] = jnp.where(sel, jnp.broadcast_to(kn_ref[...], shape),
@@ -68,12 +75,13 @@ def cache_append_rows(cache_k: jax.Array, cache_v: jax.Array,
     k_new = k_new.reshape(L, B, H, 1, D)
     v_new = v_new.reshape(L, B, H, 1, D)
 
-    # one grid step when the whole (L,B,H,8,D) slab fits in scoped VMEM
+    # one grid step when the whole (L,B,H,blk,D) slab fits in scoped VMEM
     # (compiler accounting runs ~2x the naive 2-tensor in+out estimate:
     # small b16 — L=12, H=12, 9.4 MB by the estimate — allocates 18 MB),
     # else one step per layer; vmem limit raised so the single-DMA form
     # serves every practical config
-    slab_bytes = 8 * L * B * H * _BLK_S * D * cache_k.dtype.itemsize
+    blk = _blk_s(cache_k.dtype)
+    slab_bytes = 8 * L * B * H * blk * D * cache_k.dtype.itemsize
     if slab_bytes <= 48 * 1024 * 1024:
         lb, grid = L, (1,)
     else:
@@ -83,9 +91,9 @@ def cache_append_rows(cache_k: jax.Array, cache_v: jax.Array,
                            lambda g, info: (g, 0, 0, 0, 0))
 
     def window_at_pos(g, info):
-        return (g, 0, 0, info[0] // _BLK_S, 0)
+        return (g, 0, 0, info[0] // blk, 0)
 
-    win_cache = pl.BlockSpec((lb, B, H, _BLK_S, D), window_at_pos)
+    win_cache = pl.BlockSpec((lb, B, H, blk, D), window_at_pos)
 
     out_k, out_v = pl.pallas_call(
         _append_kernel,
@@ -111,8 +119,8 @@ def _append_ragged_kernel(pos_ref, kn_ref, vn_ref, k_in, v_in,
     # grid (L, B): each step owns row b of layer l — the 8-row window
     # containing pos[b]. Same iota-select blend as _append_kernel.
     b = pl.program_id(1)
-    p = pos_ref[b] % _BLK_S
-    shape = k_in.shape  # (1, 1, H, _BLK_S, D)
+    p = pos_ref[b] % k_in.shape[3]
+    shape = k_in.shape  # (1, 1, H, blk, D)
     rows = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
     sel = rows == p
     ko_ref[...] = jnp.where(sel, jnp.broadcast_to(kn_ref[...], shape),
@@ -137,13 +145,14 @@ def cache_append_rows_ragged(cache_k: jax.Array, cache_v: jax.Array,
     k_new = k_new.reshape(L, B, H, 1, D)
     v_new = v_new.reshape(L, B, H, 1, D)
 
+    blk = _blk_s(cache_k.dtype)
     row_new = pl.BlockSpec((1, 1, H, 1, D),
                            lambda l, b, info: (l, b, 0, 0, 0))
 
     def window_at_pos(l, b, info):
-        return (l, b, 0, info[b] // _BLK_S, 0)
+        return (l, b, 0, info[b] // blk, 0)
 
-    win_cache = pl.BlockSpec((1, 1, H, _BLK_S, D), window_at_pos)
+    win_cache = pl.BlockSpec((1, 1, H, blk, D), window_at_pos)
 
     out_k, out_v = pl.pallas_call(
         _append_ragged_kernel,

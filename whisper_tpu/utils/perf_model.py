@@ -142,7 +142,8 @@ def workload_cost(cfg: WhisperConfig, batch: int, prompt_len: int,
     token's logits)."""
     if dtype_bytes is None:
         dtype_bytes = 2 if cfg.compute_dtype == "bfloat16" else 4
-    kvb = 1 if cfg.kv_cache_quant else dtype_bytes
+    kvb = 1 if (cfg.kv_cache_quant
+                or getattr(cfg, "self_kv_quant", False)) else dtype_bytes
     ckb = 1 if (cfg.kv_cache_quant
                 or getattr(cfg, "cross_kv_quant", False)) else dtype_bytes
     wb = 1 if getattr(cfg, "weight_quant", False) else dtype_bytes
