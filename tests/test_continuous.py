@@ -332,6 +332,41 @@ def test_serving_default_quant_continuous(nano):
     assert cont == ref_ids
 
 
+def test_sq_continuous_matches_batch_decode(nano):
+    """The commuted int8 SELF cache (cfg.self_kv_quant, DESIGN.md §35)
+    through the continuous engine — ragged in-place int8 appends +
+    per-row scale scatters in _prefill_join/decoder_step_ragged — must
+    produce exactly the tokens of the batch decode path on the same sq
+    cfg (both read the same quantized cache semantics)."""
+    import jax.numpy as jnp
+    from whisper_tpu.audio import log_mel_spectrogram, pad_or_trim
+    from whisper_tpu.config import apply_serving_quant
+    from whisper_tpu.decode import transcribe_tokens
+    from whisper_tpu.models.whisper import quantize_weights_wq
+    from whisper_tpu.tokenizer import build_prompt
+    from whisper_tpu.weights import to_device
+
+    cfg0, params0 = nano
+    cfg = apply_serving_quant(cfg0.replace(compute_dtype="bfloat16")
+                              ).replace(self_kv_quant=True)
+    params = quantize_weights_wq(
+        to_device(params0, jnp.bfloat16), cfg) if cfg.weight_quant \
+        else to_device(params0, jnp.bfloat16)
+
+    a = _audio(13)
+    eng = ContinuousBatcher(params, cfg, max_slots=2, max_new=6)
+    rid = eng.submit(a)
+    cont = eng.run_until_idle()[rid]
+    assert cont[:4] == [50258, 50259, 50359, 50363]
+
+    mel = log_mel_spectrogram(
+        jnp.asarray(pad_or_trim(a, cfg.n_samples))[None], cfg)
+    prompt = jnp.asarray([build_prompt(cfg)], jnp.int32)
+    ref = transcribe_tokens(params, cfg, mel, prompt, max_new=6)
+    ref_ids = np.asarray(ref.tokens)[0, :int(ref.lengths[0])].tolist()
+    assert cont == ref_ids
+
+
 def test_admission_queue_full_and_stats(nano):
     """max_queue backpressure (QueueFull past the bound) + queue-wait
     telemetry: stats carry depth/served/max-wait and the waits are
