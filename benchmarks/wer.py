@@ -110,6 +110,10 @@ def run_ab(args) -> None:
                               cfg=dict(encoder_mlp_quant=True,
                                        encoder_qkv_quant=True,
                                        attn_backend="pallas_interpret"))),
+        # §35 commuted int8 SELF cache (sq): same int8 rounding as the
+        # kv_cache_quant capacity mode but read scale-commuted
+        ("bf16_sq", dict(dtype="bfloat16", kv_quant=False, beam=1,
+                         cfg=dict(self_kv_quant=True))),
     ]
     results: dict[str, list] = {}
     for name, v in variants:
