@@ -117,7 +117,8 @@ def main() -> None:
         "sync_every": sync_every,
         "max_new": max_new,
         "dtype": dtype,
-        "quant": {"wq": cfg.weight_quant, "cq": cfg.cross_kv_quant},
+        "quant": {"wq": cfg.weight_quant, "cq": cfg.cross_kv_quant,
+                  "sq": cfg.self_kv_quant},
         "device": str(jax.devices()[0]),
     }))
 

@@ -59,6 +59,21 @@ def test_policy_encoder_qkv_quant_by_width():
         assert cfg.encoder_qkv_quant is want, name
 
 
+def test_policy_self_kv_quant_by_depth_and_width():
+    """§35 commuted int8 SELF cache: on where the decode loop is a
+    dominant bandwidth-bound e2e share — deep decoders at d>=1024
+    (medium +2.3%, large-v2 +5.1% e2e). Turbo (d=1280 but a 4-layer
+    decoder, encoder-dominated) measured -1.5% and stays OFF; tiny
+    -8.9%."""
+    from whisper_tpu.config import get_config
+    for name, want in (("medium", True), ("large-v2", True),
+                       ("large-v3", True), ("large-v3-turbo", False),
+                       ("small", False), ("tiny", False), ("base", False)):
+        cfg = apply_serving_quant(
+            get_config(name).replace(compute_dtype="bfloat16"))
+        assert cfg.self_kv_quant is want, name
+
+
 def test_policy_explicit_flag_wins(nano_bf16_plain):
     # a user who chose ONLY cross-KV quant keeps exactly that
     cfg = nano_bf16_plain.replace(cross_kv_quant=True)

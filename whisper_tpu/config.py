@@ -294,6 +294,12 @@ def apply_serving_quant(cfg: WhisperConfig,
     # so it defaults on exactly where the win clears session variance.
     # §32b QKV addendum: the XLA int8 QKV hybrid in front of the tail
     # wins e2e at d>=1024 (medium +0.9%, large-v2 +1.0%, turbo +2.5%).
+    # §35: the scale-commuted int8 SELF cache pays where the decode loop
+    # is a dominant, bandwidth-bound e2e share — deep decoders at
+    # d>=1024 (medium +2.3%, large-v2 +5.1%); turbo's 4-layer decoder
+    # DECLINES (-1.5%, encoder-dominated) and tiny is -8.9%.
     return cfg.replace(weight_quant=True, cross_kv_quant=cfg.d_model != 768,
                        encoder_mlp_quant=cfg.d_model >= 768,
-                       encoder_qkv_quant=cfg.d_model >= 1024)
+                       encoder_qkv_quant=cfg.d_model >= 1024,
+                       self_kv_quant=(cfg.d_model >= 1024
+                                      and cfg.n_text_layers > 4))
