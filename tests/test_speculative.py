@@ -150,3 +150,31 @@ def test_spec_transcribe_window_matches_pipeline(small_cfg):
     ref = t.transcribe_window(audio, max_new=8)
     assert got.tokens == ref.tokens
     assert got.text == ref.text
+
+
+def test_sq_target_normalized_to_bf16_cache(pair):
+    """A target cfg carrying self_kv_quant (the §35 serving default at
+    d_model>=1024, e.g. large-v2) is normalized OFF inside
+    speculative_decode: sq's commuted single-token arithmetic rounds
+    differently from the multi-token verify window, so keeping it would
+    break the exact-greedy contract. Output must equal greedy on the
+    sq-stripped cfg — and the sq-flagged call must not crash or allocate
+    int8 caches."""
+    t_cfg, d_cfg, t_params, d_params, _, _, prompt = pair
+    t_bf = t_cfg.replace(compute_dtype="bfloat16", self_kv_quant=True)
+    d_bf = d_cfg.replace(compute_dtype="bfloat16")
+    cast = lambda p: jax.tree.map(  # noqa: E731
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p)
+    t_params, d_params = cast(t_params), cast(d_params)
+    rng = np.random.RandomState(0)
+    audio = jnp.asarray(rng.randn(2, 80, t_cfg.n_frames).astype(np.float32)
+                        * 0.4)
+    t_enc = encoder_forward(t_params, t_bf, audio)
+    d_enc = encoder_forward(d_params, d_bf, audio)
+    ref = greedy_decode(t_params, t_bf.replace(self_kv_quant=False),
+                        t_enc, prompt, max_new=12, logit_bias=_bias(t_cfg))
+    got = speculative_decode(t_params, t_bf, d_params, d_bf,
+                             t_enc, d_enc, prompt, max_new=12, k=3,
+                             logit_bias=_bias(t_cfg))
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(ref.tokens))

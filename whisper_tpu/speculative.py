@@ -216,7 +216,19 @@ def speculative_decode(t_params, t_cfg: WhisperConfig,
     draft tokens; acceptance rate = accepted_drafts / (rounds * k). The
     benchmarking surface `benchmarks/spec_bench.py` builds its measured
     envelope from these.
+
+    `self_kv_quant` is normalized OFF on both configs: it is a batched-
+    serving throughput feature (DESIGN.md §35, adopted at b16+; the
+    small-shape overhead pattern of §29b makes it a cost at spec's b1),
+    and its commuted single-token step arithmetic rounds differently
+    from the multi-token verify window's dequant route — keeping it on
+    would break the exact-greedy-equality contract this function exists
+    for. Weight-only/cross quant (wq/cq) are unaffected.
     """
+    if t_cfg.self_kv_quant:
+        t_cfg = t_cfg.replace(self_kv_quant=False)
+    if d_cfg.self_kv_quant:
+        d_cfg = d_cfg.replace(self_kv_quant=False)
     _check_pair(t_cfg, d_cfg)
     if max_new is None:
         max_new = t_cfg.max_new_tokens
