@@ -19,7 +19,7 @@ in-place cache append, right-sized self cache, weight-only int8 and
 scale-commuted int8 cross — DESIGN.md §15, §18-§20, §24, §28-§29;
 r4 adds the in-kernel int8 encoder MLP + o-projection at d>=768, the
 bq512 block at d=1280, and the XLA int8 QKV hybrid at d>=1024 —
-§32b: medium 737.2, large-v2 412.7, large-v3 412.8, turbo 1,124.5).
+§32b/§35: medium 754.4, large-v2 433.9, large-v3 434.1, turbo 1,124.5).
 fp32 batch 8, the token-parity configuration, measured 1530 RTFx in r1;
 env knobs below select any variant (WHISPER_BENCH_PIPELINE=0 restores
 the sync-p50 headline, WHISPER_BENCH_MODEL sweeps the family).
