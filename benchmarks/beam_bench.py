@@ -40,6 +40,12 @@ def main() -> None:
                    help="weight-only int8 decoder weights (§28)")
     p.add_argument("--cq", action="store_true",
                    help="scale-commuted int8 cross-KV (§29)")
+    p.add_argument("--sq", action="store_true",
+                   help="scale-commuted int8 self-KV cache (§35)")
+    p.add_argument("--serving-defaults", action="store_true",
+                   help="apply_serving_quant(cfg, batch) — the shipped "
+                        "width x depth x batch policy (r4+: sq on at "
+                        "d>=1024 deep decoders)")
     args = p.parse_args()
 
     from whisper_tpu.audio import log_mel_spectrogram
@@ -51,11 +57,15 @@ def main() -> None:
 
     cfg = get_config(args.model).replace(compute_dtype=args.dtype,
                                          weight_quant=args.wq,
-                                         cross_kv_quant=args.cq)
+                                         cross_kv_quant=args.cq,
+                                         self_kv_quant=args.sq)
+    if args.serving_defaults:
+        from whisper_tpu.config import apply_serving_quant
+        cfg = apply_serving_quant(cfg, batch=args.batch)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if args.dtype == "bfloat16":
         params = to_device(params, jnp.bfloat16)
-    if args.wq:
+    if cfg.weight_quant:
         from whisper_tpu.models.whisper import quantize_weights_wq
         params = quantize_weights_wq(params, cfg)
     B = args.batch
@@ -84,7 +94,10 @@ def main() -> None:
         "metric": f"rtfx_beam{args.beam}_{args.model}_b{B}",
         "value": round(rtfx, 1), "p50_s": round(p50, 4),
         "dtype": args.dtype, "gen_tokens": args.gen_tokens,
-        "weight_quant": args.wq, "cross_quant": args.cq,
+        "weight_quant": cfg.weight_quant, "cross_quant": cfg.cross_kv_quant,
+        "self_quant": cfg.self_kv_quant,
+        "encoder_mlp_quant": cfg.encoder_mlp_quant,
+        "encoder_qkv_quant": cfg.encoder_qkv_quant,
     }))
 
 

@@ -101,6 +101,9 @@ def main() -> None:
                    help="attn backend override (reference|pallas|auto)")
     p.add_argument("--phases", default=None,
                    help="comma list to run (default: all)")
+    p.add_argument("--serving-defaults", action="store_true",
+                   help="apply_serving_quant(cfg, batch) + wq weights — "
+                        "phase walls at the shipped policy")
     p.add_argument("--out", default=None)
     args = p.parse_args()
     B = args.batch
@@ -108,10 +111,21 @@ def main() -> None:
 
     cfg = get_config(args.model).replace(compute_dtype=args.dtype,
                                          attn_backend=args.attn)
+    if args.serving_defaults:
+        from whisper_tpu.config import apply_serving_quant
+        cfg = apply_serving_quant(cfg, batch=B)
+        print(json.dumps({"serving_defaults": True,
+                          "wq": cfg.weight_quant, "cq": cfg.cross_kv_quant,
+                          "sq": cfg.self_kv_quant,
+                          "i8k": cfg.encoder_mlp_quant,
+                          "i8q": cfg.encoder_qkv_quant}), flush=True)
     dtype = jnp.dtype(args.dtype)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if args.dtype != "float32":
         params = to_device(params, dtype)
+    if cfg.weight_quant:
+        from whisper_tpu.models.whisper import quantize_weights_wq
+        params = quantize_weights_wq(params, cfg)
     prompt = jnp.asarray(np.tile(build_prompt(cfg), (B, 1)), jnp.int32)
     rng = np.random.RandomState(0)
     audio = jnp.asarray((rng.randn(B, cfg.n_samples) * 0.1

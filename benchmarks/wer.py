@@ -90,9 +90,33 @@ def build_pipeline(model: str, dtype: str, kv_quant: bool,
 def run_ab(args) -> None:
     from whisper_tpu.utils.metrics import cer, token_er, wer
 
-    cfg_probe = build_pipeline(args.model, "float32", False, args.weights).cfg
+    # deep-decoder override: sq/quant rounding compounds once per decoder
+    # layer, so the tiny 4-layer A/B under-stresses the adopted depths
+    # (medium 24 / large 32); --n-text-layers builds an L-deep variant of
+    # the same width for every leg including the fp32 reference
+    depth_override = ({"n_text_layers": args.n_text_layers}
+                      if args.n_text_layers else {})
+    on_chip = os.environ.get("WHISPER_WER_PLATFORM", "cpu") != "cpu"
+    # Pallas kernels run natively on the chip; CPU legs need interpret
+    tail_backend = {} if on_chip else {"attn_backend": "pallas_interpret"}
+
+    cfg_probe = build_pipeline(args.model, "float32", False, args.weights,
+                               depth_override).cfg
     clips = synthetic_clips(args.clips, cfg_probe.n_samples,
                             cfg_probe.sample_rate)
+
+    # the exact shipped policy for this width x depth (batched serving):
+    # what a user actually runs at --model <m> defaults
+    from whisper_tpu.config import apply_serving_quant, get_config
+    shipped = apply_serving_quant(
+        get_config(args.model).replace(compute_dtype="bfloat16",
+                                       **depth_override), batch=32)
+    serving_cfg = dict(weight_quant=shipped.weight_quant,
+                       cross_kv_quant=shipped.cross_kv_quant,
+                       self_kv_quant=shipped.self_kv_quant,
+                       encoder_mlp_quant=shipped.encoder_mlp_quant,
+                       encoder_qkv_quant=shipped.encoder_qkv_quant,
+                       **tail_backend)
 
     variants = [
         ("fp32_greedy", dict(dtype="float32", kv_quant=False, beam=1)),
@@ -103,22 +127,32 @@ def run_ab(args) -> None:
         # exercises the same kernel math the chip runs
         ("bf16_enc_i8k", dict(dtype="bfloat16", kv_quant=False, beam=1,
                               cfg=dict(encoder_mlp_quant=True,
-                                       attn_backend="pallas_interpret"))),
+                                       **tail_backend))),
         # §32b QKV addendum: the full adopted encoder-quant stack
         # (int8 MLP + o inside the tail, XLA int8 QKV in front)
         ("bf16_enc_i8q", dict(dtype="bfloat16", kv_quant=False, beam=1,
                               cfg=dict(encoder_mlp_quant=True,
                                        encoder_qkv_quant=True,
-                                       attn_backend="pallas_interpret"))),
+                                       **tail_backend))),
         # §35 commuted int8 SELF cache (sq): same int8 rounding as the
         # kv_cache_quant capacity mode but read scale-commuted
         ("bf16_sq", dict(dtype="bfloat16", kv_quant=False, beam=1,
                          cfg=dict(self_kv_quant=True))),
+        # the FULL shipped serving policy at this width x depth (what
+        # `--model {m}` actually runs batched): per-width divergence rows
+        # for VERDICT r4 weak #4
+        ("bf16_serving", dict(dtype="bfloat16", kv_quant=False, beam=1,
+                              cfg=serving_cfg)),
     ]
+    if args.variants:
+        keep = set(args.variants.split(","))
+        variants = [v for v in variants
+                    if v[0] in keep or v[0] == "fp32_greedy"]
     results: dict[str, list] = {}
     for name, v in variants:
         pipe = build_pipeline(args.model, v["dtype"], v["kv_quant"],
-                              args.weights, v.get("cfg"))
+                              args.weights,
+                              {**depth_override, **(v.get("cfg") or {})})
         opts = pipe.make_options(beam_size=v["beam"])
         outs = []
         for clip in clips:
@@ -139,7 +173,10 @@ def run_ab(args) -> None:
                "wer": round(float(np.mean(wers)), 4),
                "cer": round(float(np.mean(cers)), 4),
                "clips": len(clips), "max_new": args.max_new,
-               "model": args.model}
+               "model": args.model,
+               "n_text_layers": (args.n_text_layers
+                                 or cfg_probe.n_text_layers),
+               "platform": ("axon" if on_chip else "cpu")}
         print(json.dumps(row))
         print(f"{name:<14}{row['token_er']:>10.4f}{row['wer']:>8.4f}"
               f"{row['cer']:>8.4f}", file=sys.stderr)
@@ -188,6 +225,12 @@ def main() -> None:
                    help="manifest mode: compute dtype")
     p.add_argument("--kv-quant", action="store_true")
     p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--variants", default=None,
+                   help="comma list of A/B variant names to run "
+                        "(fp32_greedy reference always included)")
+    p.add_argument("--n-text-layers", type=int, default=None,
+                   help="deep-decoder override for the divergence A/B "
+                        "(sq rounding compounds per layer)")
     args = p.parse_args()
     if args.manifest:
         run_manifest(args)

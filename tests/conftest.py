@@ -25,6 +25,42 @@ jax.config.update("jax_enable_x64", False)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# XLA-CPU memory-map guard (round-5 triage of the full-suite segfault).
+#
+# Symptom: `python -m pytest tests/ -q` deterministically SEGFAULTED at
+# ~85% (inside backend_compile_and_load, jax/_src/compiler.py:362) while
+# every module passed in isolation. Cause, measured via /proc/self/maps
+# polling: each XLA-CPU JIT LoadedExecutable holds multiple anonymous
+# mappings (code pages + guard pages), jax's global jit caches never
+# evict, and the suite's thousands of compiled programs accumulate to the
+# kernel's vm.max_map_count ceiling (65530 here) — the crash sampled at
+# maps=63845 ten seconds before death, and the failed mmap is unhandled
+# in XLA. jax.clear_caches()+gc reclaims almost everything (one
+# kernel-heavy module: 3962 maps -> 561), so a threshold guard keeps the
+# process comfortably below the ceiling at the cost of recompiling
+# whatever later tests still need. 40k leaves >20k headroom over the
+# largest observed single-module growth (~4k).
+# ---------------------------------------------------------------------------
+_MAPS_SOFT_CAP = 40_000
+
+
+def _proc_maps_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:          # non-Linux: no /proc, no ceiling to guard
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _xla_map_guard():
+    yield
+    if _proc_maps_count() > _MAPS_SOFT_CAP:
+        import gc
+        jax.clear_caches()
+        gc.collect()
+
 
 @pytest.fixture(scope="session")
 def tiny_cfg():

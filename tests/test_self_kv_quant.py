@@ -177,13 +177,25 @@ def test_greedy_sq_end_to_end(sq_cfg):
                                   np.asarray(inline(params, enc, prompt)))
 
 
-def test_beam_sq_runs(sq_cfg):
-    """Beam search gathers the quantized cache (values AND scales ride
-    the tree.map) without error and returns well-formed beams."""
+def test_beam_sq_matches_dequant_oracle(sq_cfg):
+    """Beam under sq vs the kv_cache_quant dequant oracle: TOKEN equality.
+
+    Both routes hold byte-identical int8 cache contents (same quantize_kv
+    on the same appended rows); they differ only in where the scale
+    multiply lands (commuted onto the score axis vs explicit dequant
+    before the dot) — mathematically identical products up to bf16/fp32
+    rounding. The decoder token embedding is amplified 4x so argmax
+    margins (~O(40)) dwarf that rounding (~O(0.1)); equality then
+    certifies the beam-reorder gather of int8 values AND their scales —
+    quant x beam being this codebase's one historical miscompile surface
+    (DESIGN.md §31)."""
     from whisper_tpu.decode import beam_decode
     cfg = sq_cfg
     params = to_device(init_params(cfg, jax.random.PRNGKey(0)),
                        jnp.bfloat16)
+    dec = dict(params["decoder"])
+    dec["tok_emb"] = dec["tok_emb"] * 4.0
+    params = dict(params, decoder=dec)
     enc = (jax.random.normal(jax.random.PRNGKey(1),
                              (2, cfg.n_audio_ctx, cfg.d_model)) * 0.5
            ).astype(jnp.bfloat16)
@@ -191,6 +203,17 @@ def test_beam_sq_runs(sq_cfg):
     r = beam_decode(params, cfg, enc, prompt, beam_size=3, max_new=8)
     assert r.tokens.shape[0] == 2
     assert np.isfinite(np.asarray(r.sum_logprobs)).all()
+    cfg_oracle = dataclasses.replace(cfg, self_kv_quant=False,
+                                     kv_cache_quant=True)
+    ref = beam_decode(params, cfg_oracle, enc, prompt, beam_size=3,
+                      max_new=8)
+    np.testing.assert_array_equal(np.asarray(r.tokens),
+                                  np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(r.lengths),
+                                  np.asarray(ref.lengths))
+    np.testing.assert_allclose(np.asarray(r.sum_logprobs, np.float32),
+                               np.asarray(ref.sum_logprobs, np.float32),
+                               atol=0.1, rtol=5e-2)
 
 
 def test_step_ragged_sq_matches_dequant_oracle(sq_state):

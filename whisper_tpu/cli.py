@@ -190,6 +190,13 @@ def main(argv=None) -> int:
         if args.beam > 1 or args.temperature > 0 or mel_opts is not None:
             p.error("--draft-model supports plain greedy only "
                     "(no beam/temperature/timestamps rules)")
+        if cfg.self_kv_quant:
+            # speculative_decode normalizes sq OFF (exact-greedy contract
+            # vs the multi-token verify window, DESIGN.md §35); surface
+            # the strip rather than silently ignoring the flag/default
+            print("warning: --draft-model runs with self_kv_quant "
+                  "disabled (speculative verify requires the bf16 self "
+                  "cache); tokens match sq-OFF greedy", file=sys.stderr)
         if len(wav) > cfg.n_samples:
             p.error("--draft-model currently transcribes one <=30 s window")
         d_cfg = get_config(args.draft_model).replace(

@@ -248,7 +248,13 @@ def spec_transcribe_window(target, draft, audio, language: str = "en",
     target/draft: WhisperPipeline instances forming a valid pair (checked).
     Each model computes its own mel/encoder (n_mels may differ within a
     pair, e.g. none today, but the frontend is per-config regardless);
-    tokens come out identical to `target.transcribe_window` greedy.
+    tokens come out identical to `target.transcribe_window` greedy —
+    with one caveat: `speculative_decode` normalizes `self_kv_quant`
+    OFF (see its docstring), so if the target pipeline carries sq (the
+    §35 serving default at d_model>=1024 deep decoders, or an explicit
+    --self-kv-quant), this path matches the sq-OFF greedy tokens, which
+    may differ from an sq-ON `transcribe_window` by int8 self-cache
+    rounding. The CLI warns when it strips an explicitly-set flag.
     Returns a pipeline Transcription (text/tokens/timings).
     """
     import time
