@@ -147,7 +147,7 @@ def run_ab(args) -> None:
     if args.variants:
         keep = set(args.variants.split(","))
         variants = [v for v in variants
-                    if v[0] in keep or v[0] == "fp32_greedy"]
+                    if v[0] in keep or v[0] in ("fp32_greedy", args.ref)]
     results: dict[str, list] = {}
     for name, v in variants:
         pipe = build_pipeline(args.model, v["dtype"], v["kv_quant"],
@@ -160,15 +160,18 @@ def run_ab(args) -> None:
             outs.append((r.tokens, r.text))
         results[name] = outs
 
-    ref = results["fp32_greedy"]
-    print(f"{'variant':<14}{'token_er':>10}{'wer':>8}{'cer':>8}",
-          file=sys.stderr)
-    for name, _ in variants[1:]:
+    ref = results[args.ref]
+    print(f"{'variant':<14}{'token_er':>10}{'wer':>8}{'cer':>8}"
+          f"   (vs {args.ref})", file=sys.stderr)
+    for name, _ in variants:
+        if name == args.ref:
+            continue
         hyp = results[name]
         ters = [token_er(r[0], h[0]) for r, h in zip(ref, hyp)]
         wers = [wer(r[1], h[1]) for r, h in zip(ref, hyp)]
         cers = [cer(r[1], h[1]) for r, h in zip(ref, hyp)]
-        row = {"metric": f"wer_ab_{name}_vs_fp32",
+        ref_tag = "fp32" if args.ref == "fp32_greedy" else args.ref
+        row = {"metric": f"wer_ab_{name}_vs_{ref_tag}",
                "token_er": round(float(np.mean(ters)), 4),
                "wer": round(float(np.mean(wers)), 4),
                "cer": round(float(np.mean(cers)), 4),
@@ -231,6 +234,10 @@ def main() -> None:
     p.add_argument("--n-text-layers", type=int, default=None,
                    help="deep-decoder override for the divergence A/B "
                         "(sq rounding compounds per layer)")
+    p.add_argument("--ref", default="fp32_greedy",
+                   help="reference variant for the A/B (e.g. bf16_greedy "
+                        "isolates a quant feature's own divergence from "
+                        "the bf16-vs-fp32 dtype noise)")
     args = p.parse_args()
     if args.manifest:
         run_manifest(args)
