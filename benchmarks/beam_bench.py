@@ -61,7 +61,9 @@ def main() -> None:
                                          self_kv_quant=args.sq)
     if args.serving_defaults:
         from whisper_tpu.config import apply_serving_quant
-        cfg = apply_serving_quant(cfg, batch=args.batch)
+        # effective decode rows = batch * beam (the rows amortize the
+        # per-step quant overhead; see apply_serving_quant docstring)
+        cfg = apply_serving_quant(cfg, batch=args.batch * args.beam)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if args.dtype == "bfloat16":
         params = to_device(params, jnp.bfloat16)

@@ -54,11 +54,16 @@ def main() -> None:
     if os.environ.get("CONT_QUANT", "1") == "1":
         from whisper_tpu.config import apply_serving_quant
         cfg = apply_serving_quant(cfg)
-    # CONT_SQ=1 stacks the commuted int8 SELF cache (DESIGN.md §35) on
-    # the defaults — the engine's n_text_ctx-slot caches make the self
-    # read ~25% of step bytes (vs ~11% at bench.py's 128-slot cap)
-    if os.environ.get("CONT_SQ", "0") == "1":
+    # CONT_SQ=1 forces the commuted int8 SELF cache (DESIGN.md §35) on,
+    # CONT_SQ=0 forces it off, unset keeps the policy default (sq ships
+    # at d>=1024 deep decoders since r4 §35) — the engine's
+    # n_text_ctx-slot caches make the self read ~25% of step bytes (vs
+    # ~11% at bench.py's 128-slot cap), so the e2e sign can differ from
+    # the batch bench's
+    if os.environ.get("CONT_SQ") == "1":
         cfg = cfg.replace(self_kv_quant=True)
+    elif os.environ.get("CONT_SQ") == "0":
+        cfg = cfg.replace(self_kv_quant=False)
     params = init_params(cfg, jax.random.PRNGKey(0))
     if dtype == "bfloat16":
         from whisper_tpu.weights import to_device

@@ -130,17 +130,19 @@ def main(argv=None) -> int:
     if args.weight_quant:
         cfg = cfg.replace(weight_quant=True)
     quant = "off" if args.no_quant else "auto"
-    # the CLI transcribes one file at a time (batch 1): below the quant
-    # break-even at tiny width, so the auto policy keeps quant off there
-    # (DESIGN.md §29b; explicit --*-quant flags still win)
+    # the CLI transcribes one file at a time, so effective decode rows =
+    # beam width (1 for greedy): below the quant break-even at tiny
+    # width, the auto policy keeps quant off there (DESIGN.md §29b/§37;
+    # explicit --*-quant flags still win)
+    rows = max(1, args.beam)
     if args.flat_bin:
         pipe = WhisperPipeline.from_flat_bin(args.flat_bin, cfg, args.vocab,
-                                             quant=quant, batch_hint=1)
+                                             quant=quant, batch_hint=rows)
     elif args.weights:
         pipe = WhisperPipeline.from_npz(args.weights, cfg, quant=quant,
-                                        batch_hint=1)
+                                        batch_hint=rows)
     elif args.random_weights:
-        pipe = WhisperPipeline.from_random(cfg, quant=quant, batch_hint=1)
+        pipe = WhisperPipeline.from_random(cfg, quant=quant, batch_hint=rows)
     else:
         p.error("need one of --weights / --flat-bin / --random-weights")
     cfg = pipe.cfg  # auto-quant may have added serving flags

@@ -262,6 +262,12 @@ def apply_serving_quant(cfg: WhisperConfig,
     they always quantize; the gate covers exactly the measured negative
     set. batch=None preserves the batched-serving assumption (quant on
     by width).
+
+    `batch` means EFFECTIVE decode rows, not audio clips: beam search
+    multiplies rows by the beam width, and rows are what amortize the
+    per-step quant overhead — tiny beam-5 b8 (40 rows) measured 1,705
+    RTFx under wq+cq vs 1,580 unquantized (DESIGN.md §31/§37), so a
+    beam caller passes batch*beam_size.
     """
     import os
     if os.environ.get("WHISPER_TPU_AUTO_QUANT", "1") != "1":

@@ -73,9 +73,10 @@ class WhisperPipeline:
         family size (DESIGN.md §29); fp32 token-parity mode and any cfg
         with an explicitly-set quant flag pass through unchanged. "off"
         respects the cfg exactly as given (also: WHISPER_TPU_AUTO_QUANT=0).
-        batch_hint: expected serving batch when the caller knows it —
-        below the measured break-even (b≤8 at tiny width, DESIGN.md §29b)
-        the auto policy keeps quant off; None assumes batched serving.
+        batch_hint: expected EFFECTIVE decode rows (serving batch x beam
+        width) when the caller knows it — below the measured break-even
+        (≤8 rows at tiny width, DESIGN.md §29b/§37) the auto policy
+        keeps quant off; None assumes batched serving.
         """
         self.cfg = get_config(cfg) if isinstance(cfg, str) else cfg
         if quant not in ("auto", "off"):
