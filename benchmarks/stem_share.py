@@ -89,23 +89,33 @@ def main() -> None:
 
         ep = params["encoder"]
         j_stem = jax.jit(lambda m: conv_stem(ep, cfg, m))
-        j_enc = jax.jit(lambda m: encoder_forward(params, cfg, m))
 
         stem_s = med_wall(j_stem, mel) - null_s
-        enc_s = med_wall(j_enc, mel) - null_s
         cyc_stem = est_cycles(j_stem, mel)
-        cyc_enc = est_cycles(j_enc, mel)
         print(json.dumps({
-            "model": model, "batch": B,
+            "model": model, "batch": B, "phase": "stem",
             "null_dispatch_ms": round(null_s * 1e3, 2),
             "stem_ms": round(stem_s * 1e3, 3),
+            "est_cycles_stem": cyc_stem,
+            "quant": {"wq": cfg.weight_quant, "i8k": cfg.encoder_mlp_quant,
+                      "i8q": cfg.encoder_qkv_quant},
+        }), flush=True)
+
+        if os.environ.get("STEM_ONLY", "0") == "1":
+            # the full-encoder compile at d=1280 exceeds the remote
+            # helper's ~27-min cap (r5_queue2.out); share denominators
+            # come from DESIGN.md §32b's chained-slope encoder walls
+            continue
+        j_enc = jax.jit(lambda m: encoder_forward(params, cfg, m))
+        enc_s = med_wall(j_enc, mel) - null_s
+        cyc_enc = est_cycles(j_enc, mel)
+        print(json.dumps({
+            "model": model, "batch": B, "phase": "encoder",
             "encoder_ms": round(enc_s * 1e3, 3),
             "stem_share_wall_pct": round(100 * stem_s / max(enc_s, 1e-9), 1),
             "stem_share_cycles_pct": round(100 * cyc_stem
                                            / max(cyc_enc, 1), 1),
-            "est_cycles": {"stem": cyc_stem, "encoder": cyc_enc},
-            "quant": {"wq": cfg.weight_quant, "i8k": cfg.encoder_mlp_quant,
-                      "i8q": cfg.encoder_qkv_quant},
+            "est_cycles_encoder": cyc_enc,
         }), flush=True)
 
 
